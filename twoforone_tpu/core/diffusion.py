@@ -1,0 +1,250 @@
+"""DDPM over coarse-grained coordinates — pure-functional JAX core.
+
+Capability-parity redesign of the reference ``GaussianDiffusion``
+(models/ddpm.py:20-337). Differences are all about the XLA compilation model,
+not numerics:
+
+- every buffer lives in an immutable :class:`DiffusionBuffers` pytree,
+- the reverse chain ``p_sample_loop`` is a ``lax.scan`` over T steps compiled
+  into ONE XLA program (the reference runs a Python loop with one kernel
+  launch batch per step, models/ddpm.py:234-254),
+- the training loss is a pure function of (params, batch, rng) ready for
+  ``jax.grad`` + data-parallel sharding,
+- the KL-at-T sanity check (models/ddpm.py:173-193) is computed on-device and
+  returned as an aux metric; callers assert on the host (assert-in-jit would
+  force a sync every step).
+
+Numerical contract kept exactly: zero-CoM projection of data, noise, model
+output and every sampling step; per-protein std normalization; clamp to
+±1000 inside the sampling loop; timestep *importance sampling* from the
+loss-weight multinomial (models/ddpm.py:333) rather than loss reweighting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from twoforone_tpu.core.schedules import DiffusionBuffers, extract, make_buffers
+from twoforone_tpu.ops.geometry import center_zero
+
+ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x, t_norm) -> eps_hat
+
+
+# ---------------------------------------------------------------------------
+# Stateless math
+# ---------------------------------------------------------------------------
+
+def q_sample(buf: DiffusionBuffers, x_start, t, noise):
+    """Forward-process sample x_t | x_0 (reference models/ddpm.py:265-274)."""
+    noise = center_zero(noise)
+    return (
+        extract(buf.sqrt_alphas_cumprod, t) * x_start
+        + extract(buf.sqrt_one_minus_alphas_cumprod, t) * noise
+    )
+
+
+def predict_start_from_noise(buf: DiffusionBuffers, x_t, t, noise):
+    """Invert q_sample for x_0 (reference models/ddpm.py:140-147)."""
+    return (
+        extract(buf.sqrt_recip_alphas_cumprod, t) * x_t
+        - extract(buf.sqrt_recipm1_alphas_cumprod, t) * noise
+    )
+
+
+def q_posterior(buf: DiffusionBuffers, x_start, x_t, t):
+    """Posterior q(x_{t-1} | x_t, x_0) (reference models/ddpm.py:149-161)."""
+    mean = (
+        extract(buf.posterior_mean_coef1, t) * x_start
+        + extract(buf.posterior_mean_coef2, t) * x_t
+    )
+    var = extract(buf.posterior_variance, t)
+    log_var = extract(buf.posterior_log_variance_clipped, t)
+    return mean, var, log_var
+
+
+def q_mean_variance(buf: DiffusionBuffers, x_start, t):
+    """Marginal q(x_t | x_0) (reference models/ddpm.py:163-171)."""
+    mean = extract(buf.sqrt_alphas_cumprod, t) * x_start
+    variance = extract(1.0 - buf.alphas_cumprod, t)
+    log_variance = extract(buf.log_one_minus_alphas_cumprod, t)
+    return mean, variance, log_variance
+
+
+def normal_kl_at_T(buf: DiffusionBuffers, x_start):
+    """max over batch of KL(q(x_T | x_0) || N(0, I)) (models/ddpm.py:173-193).
+
+    Returned as a value; callers assert ``<= 1e-4`` on host. x_start must be
+    centered and normalized.
+    """
+    b = x_start.shape[0]
+    t = jnp.full((b,), buf.num_timesteps - 1, dtype=jnp.int32)
+    mean1, _, logvar1 = q_mean_variance(buf, x_start, t)
+    logvar1 = logvar1[:, 0, 0]
+    meandifsq = jnp.sum(mean1**2, axis=(-2, -1))
+    kl = 0.5 * (-1.0 - logvar1 + jnp.exp(logvar1) + meandifsq)
+    return jnp.max(jnp.abs(kl))
+
+
+def p_mean_variance(buf: DiffusionBuffers, score_fn: ScoreFn, x, t, objective="pred_noise"):
+    """Model posterior estimate (reference models/ddpm.py:195-219)."""
+    t_norm = t.astype(jnp.float32) / buf.num_timesteps
+    model_output = center_zero(score_fn(x, t_norm))
+    if objective == "pred_noise":
+        x_start = center_zero(predict_start_from_noise(buf, x, t, model_output))
+    elif objective == "pred_x0":
+        x_start = model_output
+    else:
+        raise ValueError(f"unknown objective {objective}")
+    return q_posterior(buf, x_start, x, t)
+
+
+def p_sample(buf: DiffusionBuffers, score_fn: ScoreFn, x, t, key, objective="pred_noise"):
+    """One ancestral reverse step (reference models/ddpm.py:221-232)."""
+    model_mean, _, model_log_var = p_mean_variance(buf, score_fn, x, t, objective)
+    noise = center_zero(jax.random.normal(key, x.shape, dtype=x.dtype))
+    nonzero = (t != 0).astype(x.dtype)[:, None, None]
+    return model_mean + nonzero * jnp.exp(0.5 * model_log_var) * noise
+
+
+def p_sample_loop(
+    buf: DiffusionBuffers,
+    score_fn: ScoreFn,
+    shape,
+    key,
+    objective: str = "pred_noise",
+):
+    """Full reverse chain as one lax.scan (reference models/ddpm.py:234-254).
+
+    The blow-up guard (clamp to ±1000, models/ddpm.py:248-250) is applied
+    unconditionally — a no-op whenever values are in range.
+    """
+    key, init_key = jax.random.split(key)
+    mol = center_zero(jax.random.normal(init_key, shape, dtype=jnp.float32))
+    b = shape[0]
+
+    def step(mol, t_scalar):
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        step_key = jax.random.fold_in(key, t_scalar)
+        mol = p_sample(buf, score_fn, mol, t, step_key, objective)
+        mol = jnp.clip(mol, -1000.0, 1000.0)
+        mol = center_zero(mol)
+        return mol, None
+
+    ts = jnp.arange(buf.num_timesteps - 1, -1, -1)
+    mol, _ = jax.lax.scan(step, mol, ts)
+    return mol
+
+
+def p_losses(
+    buf: DiffusionBuffers,
+    score_fn: ScoreFn,
+    x_start,
+    t,
+    key,
+    objective: str = "pred_noise",
+    loss_type: str = "l2",
+):
+    """Denoising loss at sampled timesteps (reference models/ddpm.py:288-315)."""
+    noise = center_zero(jax.random.normal(key, x_start.shape, dtype=x_start.dtype))
+    x = center_zero(q_sample(buf, x_start, t, noise))
+    t_norm = t.astype(jnp.float32) / buf.num_timesteps
+    model_out = center_zero(score_fn(x, t_norm))
+    target = noise if objective == "pred_noise" else x_start
+    if loss_type == "l2":
+        loss = (model_out - target) ** 2
+    elif loss_type == "l1":
+        loss = jnp.abs(model_out - target)
+    else:
+        raise ValueError(f"invalid loss type {loss_type}")
+    return loss.mean()
+
+
+def sample_timesteps(buf: DiffusionBuffers, key, batch: int):
+    """t ~ multinomial(loss_weights) — importance sampling of timesteps
+    (reference models/ddpm.py:333)."""
+    logits = jnp.log(buf.loss_weights)
+    return jax.random.categorical(key, logits, shape=(batch,))
+
+
+# ---------------------------------------------------------------------------
+# Convenience wrapper
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GaussianDiffusion:
+    """Bundles a score model with diffusion buffers and normalization.
+
+    Unlike the reference nn.Module, this object is immutable configuration;
+    parameters are passed explicitly so that every method is a pure function
+    suitable for jit / grad / shard_map.
+    """
+
+    model: "GraphTransformer"  # noqa: F821 — any module with score_forward semantics
+    num_atoms: int
+    timesteps: int = 1000
+    beta_schedule: str = "cosine"
+    norm_factor: float = 1.0
+    loss_weights: str = "ones"
+    objective: str = "pred_noise"
+    loss_type: str = "l2"
+    buffers: DiffusionBuffers = field(init=False)
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "buffers",
+            make_buffers(self.timesteps, self.beta_schedule, self.loss_weights),
+        )
+
+    # -- model plumbing ------------------------------------------------------
+    def score_fn(self, params) -> ScoreFn:
+        from twoforone_tpu.models.graph_transformer import make_score_fn
+
+        return make_score_fn(self.model, params)
+
+    def init_params(self, key):
+        x = jnp.zeros((1, self.num_atoms, 3), dtype=jnp.float32)
+        t = jnp.zeros((1,), dtype=jnp.float32)
+        kwargs = {"return_energy": True} if self.model.conservative else {}
+        return self.model.init(key, x, t, **kwargs)["params"]
+
+    # -- training ------------------------------------------------------------
+    def loss(self, params, mol, key):
+        """Training loss on raw (un-normalized) coordinates.
+
+        Mirrors reference forward (models/ddpm.py:317-337): center + scale,
+        sample t from the loss-weight multinomial, and return the KL-at-T
+        check value as aux (asserted on host by the trainer).
+        """
+        mol = center_zero(mol) / self.norm_factor
+        b, n, d = mol.shape
+        assert n == self.num_atoms and d == 3, f"Molecule shape must be {(self.num_atoms, 3)}"
+        t_key, loss_key = jax.random.split(key)
+        t = sample_timesteps(self.buffers, t_key, b)
+        kl = normal_kl_at_T(self.buffers, mol)
+        loss = p_losses(
+            self.buffers,
+            self.score_fn(params),
+            mol,
+            t,
+            loss_key,
+            self.objective,
+            self.loss_type,
+        )
+        return loss, {"kl_at_T": kl}
+
+    # -- sampling --------------------------------------------------------------
+    def sample(self, params, batch_size: int, key):
+        """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263)."""
+        shape = (batch_size, self.num_atoms, 3)
+        mol = p_sample_loop(self.buffers, self.score_fn(params), shape, key, self.objective)
+        return mol * self.norm_factor
+
+    def make_sample_fn(self, batch_size: int):
+        """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
+        return jax.jit(lambda params, key: self.sample(params, batch_size, key))
