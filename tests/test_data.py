@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from twoforone_tpu.data.datasets import CGDataset, get_dataset
+from twoforone_tpu.data.molecules import FOLDED_PDB_DIR, Molecules, norm_stds
+from twoforone_tpu.data.pdb import load_pdb, process_pdb, save_pdb
+
+# villin is 35: 33 standard residues + 2 norleucine (NLE) HETATM C-alphas,
+# which mdtraj (and therefore the reference's topology.n_residues) includes.
+BEAD_COUNTS = {
+    "chignolin": 10,
+    "trp_cage": 20,
+    "bba": 28,
+    "villin": 35,
+    "protein_g": 56,
+}
+
+
+@pytest.mark.parametrize("mol,n", list(BEAD_COUNTS.items()))
+def test_ca_topologies(mol, n):
+    path = os.path.join(FOLDED_PDB_DIR, f"{Molecules[mol.upper()].value}-0-c-alpha.pdb")
+    s = load_pdb(path)
+    assert s.topology.n_atoms == n
+    assert s.topology.n_residues == n
+    assert s.xyz.shape == (n, 3)
+
+
+@pytest.mark.parametrize("mol,n", list(BEAD_COUNTS.items()))
+def test_process_pdb_full_structures(mol, n):
+    path = os.path.join(FOLDED_PDB_DIR, f"{Molecules[mol.upper()].value}.pdb")
+    folded = process_pdb(path, mol)
+    assert folded.xyz.shape == (n, 3)
+    # C-alpha pairwise bond distances ~ 3.8 Angstrom in folded proteins
+    d = np.linalg.norm(np.diff(folded.xyz, axis=0), axis=-1)
+    assert 2.5 < d.mean() < 4.5
+
+
+def test_save_load_roundtrip(tmp_path):
+    path = os.path.join(FOLDED_PDB_DIR, "CLN025-0-c-alpha.pdb")
+    s = load_pdb(path)
+    out = str(tmp_path / "out.pdb")
+    frames = np.stack([s.xyz, s.xyz + 1.0])
+    save_pdb(out, frames, s.topology)
+    back = load_pdb(out)
+    assert back.topology.n_atoms == s.topology.n_atoms
+    np.testing.assert_allclose(back.xyz, s.xyz, atol=1e-3)
+
+
+def test_empty_dataset_mode():
+    train, val, test = get_dataset("chignolin", mean0=True, data_folder=None)
+    assert train.is_empty and len(train) == 0
+    assert train.num_beads == 10
+    assert train.std == pytest.approx(norm_stds[Molecules.CHIGNOLIN])
+    assert train.bead_onehot.shape == (10, 10)
+
+
+def test_empty_ala2_dataset():
+    train, _, _ = get_dataset("alanine_dipeptide_fuberlin", mean0=True, fold=2)
+    assert train.num_beads == 5
+    assert train.std == pytest.approx(norm_stds["alanine_fold2"])
+
+
+def test_ala2_fold_split(tmp_path):
+    # synthetic npz with 4000 frames
+    coords = np.random.default_rng(0).normal(size=(4000, 5, 3)).astype(np.float32)
+    np.savez(tmp_path / "ala2_cg_2fs_Hmass_2_HBonds.npz", coords=coords)
+    train, val, test = get_dataset(
+        "alanine_dipeptide_fuberlin", mean0=True, data_folder=str(tmp_path), fold=2
+    )
+    assert len(test) == 1000
+    assert len(train) + len(val) == 3000
+    assert len(train) <= 500000
+    # test chunk is the second quarter, in order and centered
+    np.testing.assert_allclose(test.data.mean(axis=1), 0.0, atol=1e-5)
+    expected = coords[1000:2000] - coords[1000:2000].mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(test.data, expected, atol=1e-5)
+
+
+def test_deshaw_npy_loading_and_split(tmp_path):
+    # preprocessed npy in nm; loader converts to Angstrom
+    coords_nm = np.random.default_rng(1).normal(size=(1000, 10, 3)).astype(np.float32)
+    np.save(tmp_path / "CLN025-0-c-alpha.npy", coords_nm)
+    train, val, test = get_dataset(
+        "chignolin", mean0=True, data_folder=str(tmp_path), shuffle_before_splitting=True
+    )
+    assert len(train) == 700 and len(val) == 100 and len(test) == 200
+    np.testing.assert_allclose(train.data.mean(axis=1), 0.0, atol=1e-4)
+    # Angstrom conversion: overall std is 10x the nm std (centering aside)
+    assert train.data.std() > 5  # nm std ~1 -> Angstrom ~10
+
+    # fixed-seed shuffle is deterministic
+    train2, _, _ = get_dataset(
+        "chignolin", mean0=True, data_folder=str(tmp_path), shuffle_before_splitting=True
+    )
+    np.testing.assert_array_equal(train.data, train2.data)
+
+
+def test_prepare_shuffle_parity():
+    """The fixed-seed shuffle must match the reference's
+    np.random.seed(2342361); np.random.shuffle(data)."""
+    data = np.arange(20, dtype=np.float32).reshape(10, 1, 2).repeat(3, axis=2) * 0
+    data = np.random.default_rng(3).normal(size=(10, 2, 3)).astype(np.float32)
+    out = CGDataset.prepare(data.copy(), mean0=False, shuffle=True)
+    expected = data.copy()
+    np.random.seed(2342361)
+    np.random.shuffle(expected)
+    np.testing.assert_array_equal(out, expected)

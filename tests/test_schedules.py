@@ -38,7 +38,7 @@ def test_buffers_consistency():
     ac = np.asarray(buf.alphas_cumprod, dtype=np.float64)
     betas = np.asarray(buf.betas, dtype=np.float64)
     # alphas_cumprod is the cumulative product of (1 - beta) (float32 tolerance)
-    np.testing.assert_allclose(ac, np.cumprod(1 - betas), rtol=1e-5)
+    np.testing.assert_allclose(ac, np.cumprod(1 - betas), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(buf.sqrt_alphas_cumprod) ** 2, ac, rtol=1e-5
     )

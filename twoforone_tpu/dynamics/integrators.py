@@ -253,8 +253,11 @@ class LangevinSimulation:
             return (x, v), out
 
         @partial(jax.jit, static_argnames=("n_saves",))
-        def run_chunk(x, v, key, betas, n_saves):
-            period_keys = jax.random.split(key, n_saves)
+        def run_chunk(x, v, root_key, period_offset, betas, n_saves):
+            # Per-period keys derive from the global save-period index so the
+            # trajectory is invariant to host-offload chunking and resumable.
+            period_idx = period_offset + jnp.arange(n_saves)
+            period_keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(period_idx)
             betas = betas.reshape(n_saves, save_interval)
             (x, v), saved = jax.lax.scan(save_period, (x, v), (period_keys, betas))
             return x, v, saved
@@ -329,9 +332,11 @@ class LangevinSimulation:
         while done < remaining:
             chunk = min(steps_per_chunk, remaining - done)
             n_saves = chunk // self.save_interval
-            self._key, chunk_key = jax.random.split(self._key)
+            period_offset = self._t // self.save_interval
             betas = jnp.asarray(betas_all[done : done + chunk])
-            x, v, saved = self._chunk_fn(x, v, chunk_key, betas, n_saves=n_saves)
+            x, v, saved = self._chunk_fn(
+                x, v, self._key, jnp.int32(period_offset), betas, n_saves=n_saves
+            )
             sl = slice(save_idx, save_idx + n_saves)
             coords_out[sl] = np.asarray(saved["coords"])
             if self.save_forces:

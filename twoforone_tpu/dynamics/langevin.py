@@ -1,0 +1,156 @@
+"""Diffusion-model force field -> Langevin dynamics driver.
+
+Capability-parity redesign of reference dynamics/langevin.py:46-212:
+
+- :func:`make_diffusion_force_fn` — the "ForcesWrapper": the learned score at
+  one fixed noise level ``t`` is rescaled into a CG force field,
+  ``F = -eps_hat(x, t) / kbt_inv / sqrt(1 - alpha_bar_t)``
+  (reference dynamics/langevin.py:75-92). Here it returns a jit-able pure
+  function that fuses the score-net forward (+ the jax.grad energy
+  differentiation in conservative mode) into the integrator's scan body.
+- :class:`LangevinDiffusion` — unit handling (KB in g/mol, Angstrom, ps, K),
+  norm-factor algebra, auto-dt, and the BAOA(F)B simulation
+  (reference dynamics/langevin.py:95-212).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from twoforone_tpu.data.molecules import AVOGADRO, JPERKCAL, KB, KBOLTZMANN
+from twoforone_tpu.dynamics.integrators import LangevinSimulation
+
+
+def make_diffusion_force_fn(
+    diffusion: "GaussianDiffusion",  # noqa: F821
+    params,
+    t: int,
+    kbt_inv: float,
+):
+    """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
+
+    ``x`` is in *normalized* units (divided by norm_factor). In conservative
+    mode the potential returned is the summed per-node energy rescaled by the
+    same factor as the forces; otherwise zeros (the reference returns zeros,
+    dynamics/langevin.py:92).
+    """
+    buf = diffusion.buffers
+    sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
+    t_norm = float(t) / diffusion.timesteps
+    score_fn = diffusion.score_fn(params)
+    scale = 1.0 / (kbt_inv * sqrt_one_minus)
+
+    def force_fn(x):
+        b = x.shape[0]
+        tt = jnp.full((b,), t_norm, dtype=jnp.float32)
+        eps_hat = score_fn(x, tt)
+        forces = -eps_hat * scale
+        potential = jnp.zeros((b,), dtype=jnp.float32)
+        return potential, forces
+
+    return force_fn
+
+
+class LangevinDiffusion:
+    """Simulate Langevin dynamics from a trained diffusion model.
+
+    Mirrors the reference driver (dynamics/langevin.py:95-212): normalizes
+    initial coordinates, converts the score into forces with consistent units,
+    auto-derives dt when not given, runs BAOA(F)B, and rescales the saved
+    trajectory back to data units.
+    """
+
+    def __init__(
+        self,
+        diffusion: "GaussianDiffusion",  # noqa: F821
+        params,
+        init_mol,
+        n_timesteps: int = 1000000,
+        save_interval: int = 250,
+        t: int = 15,
+        temp_data: float = 300,
+        temp_sim: float = 300,
+        dt: Optional[float] = 2e-3,
+        masses: Sequence[float] = (12.8,) * 5,
+        friction: Optional[float] = 1,
+        kb: str = "consistent",
+        random_seed: Optional[int] = None,
+        steps_per_chunk: Optional[int] = None,
+        log: bool = True,
+    ):
+        self.norm_factor = float(diffusion.norm_factor)
+        init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
+        buf = diffusion.buffers
+        self.one_minus_alphas_cumprod = 1.0 - float(buf.alphas_cumprod[t])
+
+        if kb == "consistent":
+            self.kb_inv = 1.0 / KB * self.norm_factor**2
+        elif kb == "kcal":
+            self.kb_inv = JPERKCAL / KBOLTZMANN / AVOGADRO * (self.norm_factor**2) / 100
+        else:
+            raise ValueError("Wrong kb value")
+
+        force_fn = make_diffusion_force_fn(
+            diffusion, params, t, kbt_inv=self.kb_inv / temp_data
+        )
+
+        if friction is None:
+            friction_aux = 1.0
+            diffusion_constant = 1.0 / masses[0]
+        else:
+            friction_aux = friction
+            diffusion_constant = 1.0
+        if dt is None:
+            # Auto-dt from the noise floor (reference dynamics/langevin.py:161-168):
+            # dt = (1 - alpha_bar_t) * gamma * m * kb_inv / T_data
+            dt = (
+                self.one_minus_alphas_cumprod
+                * friction_aux
+                * masses[0]
+                * self.kb_inv
+                / temp_data
+            )
+
+        self.sim = LangevinSimulation(
+            force_fn=force_fn,
+            initial_coordinates=init_sample,
+            length=n_timesteps,
+            save_interval=save_interval,
+            beta=self.kb_inv / temp_sim,
+            save_potential=False,
+            log_interval=save_interval if log else None,
+            log_type="print",
+            diffusion=diffusion_constant,
+            masses=list(masses),
+            friction=friction,
+            dt=dt,
+            random_seed=random_seed,
+            steps_per_chunk=steps_per_chunk,
+        )
+
+        if log:
+            fr = 1.0 if friction is None else friction
+            print(f"norm factor:{self.norm_factor}")
+            print(f"Diffusion model Beta : {float(buf.betas[t])}")
+            print(f"Diffusion model sqrt_alphas_cumprod {float(buf.sqrt_alphas_cumprod[t])}")
+            print(
+                "Diffusion model sqrt_one_minus_alphas_cumprod "
+                f"{float(buf.sqrt_one_minus_alphas_cumprod[t])}"
+            )
+            print(f"Diffusion model one_minus_alphas_cumprod {self.one_minus_alphas_cumprod}")
+            print(
+                f"dt*kb*T/M/gamma: {dt * temp_data / self.kb_inv / masses[0] / fr} "
+                "(should be on a similar scale as one_minus_alphas_cumprod)"
+            )
+            print(f"dt: {dt: .8f} (ps)")
+            print(f"KbT: {temp_data / self.kb_inv: .4f}")
+
+    def sample(self) -> np.ndarray:
+        """Run the simulation; return (n_frames_total, n_beads, 3) in Angstrom
+        (all chains concatenated, reference dynamics/langevin.py:205-212)."""
+        traj = self.sim.simulate()  # (n_sims, n_saves, beads, 3)
+        traj = traj.reshape(-1, traj.shape[2], traj.shape[3])
+        return traj * self.norm_factor
