@@ -1,0 +1,164 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from twoforone_tpu.core.diffusion import GaussianDiffusion
+from twoforone_tpu.data.datasets import CGDataset, get_dataset
+from twoforone_tpu.models import get_model
+from twoforone_tpu.train.ema import EMAConfig, current_decay, ema_update, init_ema
+from twoforone_tpu.train.trainer import Trainer, batch_iterator
+from twoforone_tpu.utils.config import TrainConfig
+
+
+def test_ema_schedule_matches_ema_pytorch_semantics():
+    cfg = EMAConfig(beta=0.995)
+    # before update_after_step: decay 0 (copy)
+    assert float(current_decay(0, cfg)) == 0.0
+    assert float(current_decay(100, cfg)) == 0.0
+    assert float(current_decay(101, cfg)) == 0.0  # epoch = 0 -> still copy
+    # ramping afterwards: 1 - (1 + epoch)^(-2/3)
+    d = float(current_decay(110, cfg))
+    assert d == pytest.approx(1 - (1 + 9) ** (-2 / 3), rel=1e-5)
+    # far in: clamped to beta
+    assert float(current_decay(100000, cfg)) == pytest.approx(0.995)
+
+
+def test_ema_update_every_and_copy():
+    import jax.numpy as jnp
+
+    cfg = EMAConfig(beta=0.9, update_after_step=2, update_every=2, power=1.0)
+    params = {"w": jnp.ones(3)}
+    ema = init_ema({"w": jnp.zeros(3)})
+    # step 1: not a multiple of 2 -> unchanged
+    ema1 = ema_update(ema, params, 1, cfg)
+    np.testing.assert_array_equal(np.asarray(ema1["w"]), 0.0)
+    # step 2: multiple of 2, epoch<=0 -> copy
+    ema2 = ema_update(ema, params, 2, cfg)
+    np.testing.assert_array_equal(np.asarray(ema2["w"]), 1.0)
+
+
+def test_batch_iterator_shapes_and_coverage():
+    data = np.arange(10 * 2 * 3, dtype=np.float32).reshape(10, 2, 3)
+    it = batch_iterator(data, 4, seed=0)
+    seen = set()
+    for _ in range(6):
+        b = next(it)
+        assert b.shape == (4, 2, 3)
+        seen.update(b[:, 0, 0].astype(int).tolist())
+    assert len(seen) >= 8  # epochs reshuffle, most of dataset covered
+
+
+def _synthetic_ala2_dataset(n=512):
+    """Gaussian blob 'molecules' centered at zero, std ~ ala2 scale."""
+    rng = np.random.default_rng(0)
+    coords = rng.normal(size=(n, 5, 3)).astype(np.float32) * 0.9449278712272644
+    coords -= coords.mean(axis=1, keepdims=True)
+    train, val, test = (
+        CGDataset(coords[: n // 2], _topo(), "alanine_fold1"),
+        CGDataset(coords[n // 2 : 3 * n // 4], _topo(), "alanine_fold1"),
+        CGDataset(coords[3 * n // 4 :], _topo(), "alanine_fold1"),
+    )
+    return train, val, test
+
+
+def _topo():
+    from twoforone_tpu.data.molecules import FOLDED_PDB_DIR
+    from twoforone_tpu.data.pdb import load_pdb
+
+    return load_pdb(os.path.join(FOLDED_PDB_DIR, "ala2_cg.pdb")).topology
+
+
+def test_trainer_end_to_end_tiny(tmp_path):
+    """Two eval cycles of real training on synthetic data: loss decreases,
+    checkpoints + config + eval artifacts written, resume works."""
+    cfg = TrainConfig(
+        mol="alanine_dipeptide_fuberlin",
+        data_folder=None,
+        results_folder=str(tmp_path / "results"),
+        tensorboard_folder=str(tmp_path / "runs"),
+        experiment_name="tiny",
+        hidden_features_gnn=16,
+        num_layers_gnn=1,
+        conservative=True,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        diffusion_steps=1000,
+        batch_size=32,
+        learning_rate=1e-3,
+        train_iter=40,
+        eval_interval=20,
+        num_samples=8,
+        num_samples_final_eval=8,
+        iterations_on_val=1,
+        log_tensorboard_interval=10,
+        loss_weights="higheruntil_100",
+    )
+    dataset = _synthetic_ala2_dataset()
+    model = get_model(cfg, 5)
+    gd = GaussianDiffusion(
+        model=model, num_atoms=5, timesteps=cfg.diffusion_steps,
+        norm_factor=dataset[0].std, loss_weights=cfg.loss_weights,
+    )
+    trainer = Trainer(gd, dataset, cfg.mol, cfg, use_tensorboard=False)
+    trainer.train()
+
+    rf = trainer.results_folder
+    assert os.path.exists(os.path.join(rf, "model-last.msgpack"))
+    assert os.path.exists(os.path.join(rf, "model-best.msgpack"))
+    assert os.path.exists(os.path.join(rf, "config.json"))
+    assert os.path.exists(os.path.join(rf, "results-final_iid_val.json"))
+    # final_eval reloads the best checkpoint (reference trainer.py:313-314),
+    # so in-memory step may be the best milestone; model-last must hold 40.
+    from twoforone_tpu.utils.checkpoint import load_checkpoint
+
+    assert int(load_checkpoint(rf, "last")["step"]) == 40
+
+    # resume from last
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, start_from_last_saved=True, train_iter=44)
+    trainer2 = Trainer(gd, dataset, cfg.mol, cfg2, use_tensorboard=False)
+    assert int(trainer2.state.step) == 40
+    assert trainer2.best_val_loss == trainer.best_val_loss
+
+
+def test_trainer_loss_decreases(tmp_path):
+    cfg = TrainConfig(
+        mol="alanine_dipeptide_fuberlin",
+        data_folder=None,
+        results_folder=str(tmp_path / "results"),
+        experiment_name="lossdec",
+        hidden_features_gnn=32,
+        num_layers_gnn=1,
+        conservative=False,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        diffusion_steps=1000,
+        batch_size=64,
+        learning_rate=2e-3,
+        train_iter=150,
+        eval_interval=1000,  # no mid-eval
+        iterations_on_val=1,
+        log_tensorboard_interval=1000,
+    )
+    dataset = _synthetic_ala2_dataset(1024)
+    model = get_model(cfg, 5)
+    gd = GaussianDiffusion(
+        model=model, num_atoms=5, timesteps=1000,
+        norm_factor=dataset[0].std, loss_weights="ones",
+    )
+    trainer = Trainer(gd, dataset, cfg.mol, cfg, use_tensorboard=False)
+    # measure loss before and after a few steps manually
+    key = jax.random.PRNGKey(123)
+    data = dataset[0].data
+    it = batch_iterator(data, trainer.batch_size, seed=1)
+    losses = []
+    for i in range(150):
+        key, sk = jax.random.split(key)
+        trainer.state, metrics = trainer._train_step(trainer.state, next(it), sk)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-20:]) < np.mean(losses[:20]) * 0.9

@@ -1,0 +1,180 @@
+"""Sampling CLI — flag-parity port of reference sample.py:18-253.
+
+Two generative modes:
+- ``--gen_mode iid``: batched reverse-diffusion sampling (one lax.scan over
+  the T=1000 chain per batch),
+- ``--gen_mode langevin``: i.i.d. samples as initial states, then the
+  BAOA(F)B Langevin engine with the diffusion force field at ``--noise_level``.
+
+Loads config.json or a legacy reference args.pickle, and checkpoints in
+either this framework's msgpack format or (converted) torch ``model-*.pt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="coarse-graining-evaluator")
+    p.add_argument("--model_path", type=str, required=True,
+                   help="root directory where models and config are stored")
+    p.add_argument("--model_checkpoint", type=str, default="best",
+                   help="best, last, 1, 2, 3, ...")
+    p.add_argument("--gen_mode", type=str, default="iid",
+                   help="generative mode, either iid or langevin")
+    p.add_argument("--append_exp_name", type=str, default=None)
+    p.add_argument("--data_folder", type=str, default=None,
+                   help="if None (default) work with empty datasets and golden references")
+    # i.i.d. generation
+    p.add_argument("--num_samples_eval", type=int, default=1000)
+    p.add_argument("--batch_size_gen", type=int, default=256)
+    # Langevin simulation
+    p.add_argument("--masses", type=str, default=None, help="Units in g/mol (json list)")
+    p.add_argument("--friction", type=float, default=1, help="ps^-1, usually 1")
+    p.add_argument("--parallel_sim", type=int, default=100)
+    p.add_argument("--n_timesteps", type=int, default=10000)
+    p.add_argument("--save_interval", type=int, default=250)
+    p.add_argument("--noise_level", type=int, default=20,
+                   help="diffusion model noise level for extracting force fields")
+    p.add_argument("--dt", type=float, default=None,
+                   help="ps; if None computed from the diffusion model parameters")
+    p.add_argument("--temp_data", type=float, default=None)
+    p.add_argument("--temp_sim", type=float, default=None)
+    p.add_argument("--kb", type=str, default="consistent", help="consistent, kcal")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def load_model(model_path: str, checkpoint: str, data_folder=None):
+    """Rebuild (GaussianDiffusion, ema_params, trainset, config) from a results dir."""
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.data.datasets import get_dataset
+    from twoforone_tpu.models import get_model
+    from twoforone_tpu.utils.checkpoint import load_checkpoint
+    from twoforone_tpu.utils.config import load_config
+    from twoforone_tpu.utils.convert import load_torch_checkpoint_as_params
+
+    cfg = load_config(model_path)
+    cfg.data_folder = data_folder
+    trainset, _, _ = get_dataset(
+        cfg.mol,
+        cfg.mean0,
+        data_folder,
+        cfg.fold,
+        shuffle_before_splitting=cfg.shuffle_data_before_splitting,
+    )
+    norm_factor = trainset.std if cfg.scale_data else 1.0
+    model = get_model(cfg, trainset.num_beads)
+    gd = GaussianDiffusion(
+        model=model,
+        num_atoms=trainset.num_beads,
+        timesteps=cfg.diffusion_steps,
+        norm_factor=norm_factor,
+        loss_weights=cfg.loss_weights,
+    )
+    msgpack = os.path.join(model_path, f"model-{checkpoint}.msgpack")
+    torch_pt = os.path.join(model_path, f"model-{checkpoint}.pt")
+    if os.path.exists(msgpack):
+        template = {"ema_params": gd.init_params(jax.random.PRNGKey(0))}
+        state = load_checkpoint(model_path, checkpoint, None)
+        from flax import serialization
+
+        ema_params = serialization.from_state_dict(
+            template["ema_params"], state["ema_params"]
+        )
+    elif os.path.exists(torch_pt):
+        ema_params = load_torch_checkpoint_as_params(torch_pt, model)
+    else:
+        raise FileNotFoundError(f"No checkpoint {checkpoint} under {model_path}")
+    return gd, ema_params, trainset, cfg
+
+
+def main(argv=None):
+    import jax
+
+    from twoforone_tpu.data.molecules import temp_dict
+    from twoforone_tpu.data.pdb import save_pdb
+    from twoforone_tpu.dynamics.langevin import LangevinDiffusion
+    from twoforone_tpu.evaluate.evaluators import sample_from_model
+
+    samp_args = build_parser().parse_args(argv)
+    gd, ema_params, trainset, cfg = load_model(
+        samp_args.model_path, samp_args.model_checkpoint, samp_args.data_folder
+    )
+
+    if samp_args.temp_data is None:
+        samp_args.temp_data = temp_dict[cfg.mol.upper()]
+    if samp_args.temp_sim is None:
+        samp_args.temp_sim = temp_dict[cfg.mol.upper()]
+
+    basic_append = f"_{samp_args.gen_mode}"
+    append = (
+        basic_append
+        if samp_args.append_exp_name is None
+        else f"{basic_append}_{samp_args.append_exp_name}"
+    )
+    eval_folder = Path(samp_args.model_path) / ("main_eval_output" + append)
+    eval_folder.mkdir(exist_ok=True, parents=False)
+
+    key = jax.random.PRNGKey(samp_args.seed)
+    batch = samp_args.batch_size_gen
+    sample_fn = gd.make_sample_fn(batch)
+    driver = lambda b, k: sample_fn(ema_params, k)
+
+    if samp_args.gen_mode == "iid":
+        sampled_mol = sample_from_model(
+            driver, samp_args.num_samples_eval, batch, key=key, verbose=True
+        )
+    elif samp_args.gen_mode == "langevin":
+        n_save = int(samp_args.parallel_sim * samp_args.n_timesteps / samp_args.save_interval)
+        print(f"Total number of samples to save using Langevin Dynamics: {n_save}")
+        # Initial states: i.i.d. samples from the same model (paper procedure
+        # when data is unavailable, reference sample.py:196-214).
+        init_mol = sample_from_model(
+            driver, samp_args.parallel_sim, batch, key=key, verbose=True
+        )
+        masses = samp_args.masses
+        if masses is None:
+            m = 12.8 if "alanine" in cfg.mol else 12.0
+            masses = [m] * trainset.num_beads
+        else:
+            import json
+
+            masses = json.loads(masses)
+        sampler = LangevinDiffusion(
+            gd,
+            ema_params,
+            init_mol,
+            n_timesteps=samp_args.n_timesteps,
+            save_interval=samp_args.save_interval,
+            t=samp_args.noise_level,
+            temp_data=samp_args.temp_data,
+            temp_sim=samp_args.temp_sim,
+            dt=samp_args.dt,
+            masses=masses,
+            friction=samp_args.friction,
+            kb=samp_args.kb,
+            random_seed=samp_args.seed,
+        )
+        sampled_mol = sampler.sample()
+    else:
+        raise ValueError("Wrong argument 'gen_mode'")
+
+    np.save(str(eval_folder / f"sample-{samp_args.gen_mode}.npy"), sampled_mol)
+    save_pdb(
+        str(eval_folder / f"sample-{samp_args.gen_mode}.pdb"),
+        np.asarray(sampled_mol[:1000]),
+        trainset.topology,
+    )
+    return sampled_mol
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,11 @@ class Evaluator:
         self.folded_pdb_folder = folded_pdb_folder
         self.mol_name = mol_name
 
+        # NB: the reference passes ``evalsetname=`` to sub-evaluators whose
+        # kwarg is ``evalset`` (evaluate/evaluators.py:71, :76 vs :222, :362),
+        # so constructing a fast-folder Evaluator crashes there as shipped.
+        # Fixed here: empty evalsetname falls back to "testset".
+        evalset = evalsetname or "testset"
         if "alanine" in mol_name:
             self.dihedral_evaluator = DihedralEnergiesEvaluator(
                 self.ref_data, topology, self.eval_folder
@@ -100,11 +105,11 @@ class Evaluator:
                 eval_folder=self.eval_folder,
                 data_folder=data_folder,
                 folded_pdb_folder=folded_pdb_folder,
-                evalsetname=evalsetname,
+                evalset=evalset,
             )
         if mol_name.lower() != "protein_g":
             self.pwd_evaluator = PwdEvaluator(
-                self.ref_data, self.eval_folder, mol_name, evalsetname=evalsetname
+                self.ref_data, self.eval_folder, mol_name, evalset=evalset
             )
 
     def eval(self, sampled_mol, milestone, save_plots: bool = False) -> dict:

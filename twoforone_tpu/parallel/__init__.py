@@ -1,0 +1,6 @@
+from twoforone_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_jit,
+)

@@ -1,0 +1,68 @@
+"""Device mesh + sharding utilities.
+
+The reference's only parallelism is single-process torch DataParallel
+(trainer.py:73-86, sample.py:180-186): replicate the model, scatter the batch,
+gather the outputs. The TPU-native equivalent is a 1D ``jax.sharding.Mesh``
+over the data/chain axis:
+
+- training: batch sharded over ``data``; parameters replicated; XLA inserts
+  the gradient all-reduce over ICI automatically from the shardings,
+- i.i.d. sampling and Langevin chains: the batch/chain axis shards over
+  ``data`` with NO collectives in the hot loop (chains are independent), so
+  scaling is linear across chips and multi-slice (DCN) deployments can shard
+  the same axis across slices.
+
+Everything degrades gracefully to a 1-device mesh on a single chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = "data"):
+    """Place a batch with its leading axis sharded over the mesh.
+
+    Pads nothing: the caller must make batch divisible by the mesh size
+    (the trainer rounds batch sizes accordingly).
+    """
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.device_put(batch)
+    spec = P(axis_name, *([None] * (batch.ndim - 1)))
+    return jax.device_put(batch, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    """Replicate a pytree (parameters, opt state) across the mesh."""
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.device_put(tree)
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_jit(fn, mesh: Optional[Mesh], batch_argnum: int = 1,
+                      axis_name: str = "data", **jit_kwargs):
+    """jit ``fn`` with the given positional arg sharded over the data axis and
+    everything else replicated. With a 1-device mesh this is plain jit."""
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.jit(fn, **jit_kwargs)
+    repl = NamedSharding(mesh, P())
+
+    def wrapper(*args, **kwargs):
+        args = list(args)
+        args[batch_argnum] = shard_batch(args[batch_argnum], mesh, axis_name)
+        return jitted(*args, **kwargs)
+
+    jitted = jax.jit(fn, out_shardings=None, **jit_kwargs)
+    return wrapper
