@@ -84,6 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU extensions
     p.add_argument("--bf16", type=_bool, default=False, help="bfloat16 score-net compute")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ala2_train_cap", type=int, default=500000)
     return p
 
 
@@ -117,6 +118,7 @@ def main(argv=None):
         cfg.fold,
         traindata_subset=cfg.traindata_subset,
         shuffle_before_splitting=cfg.shuffle_data_before_splitting,
+        ala2_train_cap=cfg.ala2_train_cap,
     )
     norm_factor = trainset.std if cfg.scale_data else 1.0
     model = get_model(cfg, trainset.num_beads)

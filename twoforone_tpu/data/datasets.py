@@ -145,6 +145,7 @@ def get_dataset(
     traindata_subset: Optional[int] = None,
     shuffle_before_splitting: bool = False,
     pdb_folder: Optional[str] = None,
+    ala2_train_cap: int = 500000,
 ):
     """Build (trainset, valset, testset) for a molecule.
 
@@ -175,8 +176,8 @@ def get_dataset(
         testrange = chunks[fold - 1]
         trainval = np.concatenate(chunks[: fold - 1] + chunks[fold:])
         trainval = trainval[np.random.permutation(len(trainval))]
-        trainrange = trainval[:500000]
-        valrange = trainval[500000:]
+        trainrange = trainval[:ala2_train_cap]
+        valrange = trainval[ala2_train_cap:]
         if traindata_subset is not None:
             assert (
                 isinstance(traindata_subset, int)

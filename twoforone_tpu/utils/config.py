@@ -82,6 +82,7 @@ class TrainConfig:
     # TPU-specific extensions (no reference equivalent)
     bf16: bool = False  # bfloat16 score-net compute (AMP analogue, trainer.py:141)
     seed: int = 0
+    ala2_train_cap: int = 500000  # reference hardcodes 500k (dataset_utils_empty.py:98)
 
     def __post_init__(self):
         if "alanine_dipeptide" in self.mol.lower():
