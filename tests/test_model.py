@@ -35,6 +35,41 @@ def _init(model, key=0):
     return model.init(jax.random.PRNGKey(key), x, t, **kwargs)["params"]
 
 
+@pytest.mark.parametrize(
+    "intrinsic,distances",
+    [(True, False), (False, True), (True, True), (False, False)],
+)
+def test_geometric_edges_match_general_path(intrinsic, distances):
+    """The production geometric-edge factorization must be an exact algebraic
+    identity with the explicit N^2 edge-tensor computation."""
+    kwargs = dict(
+        num_beads=9,
+        hidden_nf=32,
+        n_layers=2,
+        use_intrinsic_coords=intrinsic,
+        use_abs_coords=False,
+        use_distances=distances,
+        conservative=True,
+    )
+    geo = GraphTransformer(use_geometric_edges=True, **kwargs)
+    gen = GraphTransformer(use_geometric_edges=False, **kwargs)
+    x0 = jnp.zeros((1, 9, 3))
+    t0 = jnp.zeros((1,))
+    params = geo.init(jax.random.PRNGKey(0), x0, t0, return_energy=True)["params"]
+    # same param tree in both modes
+    params_gen = gen.init(jax.random.PRNGKey(0), x0, t0, return_energy=True)["params"]
+    jax.tree_util.tree_map(lambda a, b: None, params, params_gen)
+
+    x = center_zero(jax.random.normal(jax.random.PRNGKey(1), (4, 9, 3)) * 3)
+    t = jnp.full((4,), 0.4)
+    e_geo = score_forward(geo, params, x, t, return_energy=True)
+    e_gen = score_forward(gen, params, x, t, return_energy=True)
+    np.testing.assert_allclose(np.asarray(e_geo), np.asarray(e_gen), atol=1e-4, rtol=1e-4)
+    f_geo = score_forward(geo, params, x, t)
+    f_gen = score_forward(gen, params, x, t)
+    np.testing.assert_allclose(np.asarray(f_geo), np.asarray(f_gen), atol=1e-4, rtol=1e-4)
+
+
 def test_attention_factored_matches_naive():
     key = jax.random.PRNGKey(0)
     B, N, H, dh, De = 3, 7, 4, 8, 5

@@ -32,8 +32,32 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from twoforone_tpu.ops.attention import edge_biased_attention
+from twoforone_tpu.ops.attention import (
+    edge_biased_attention,
+    geometric_edge_attention,
+)
 from twoforone_tpu.ops.geometry import center_zero
+
+
+class LinearParams(nn.Module):
+    """Holds Dense-compatible (kernel, bias) without applying them.
+
+    Used for ``edge_embedding``: its weights are algebraically folded into
+    each attention layer's edge projection (see geometric_edge_attention), so
+    the map is never applied to an N^2 tensor — but the parameter tree stays
+    identical to an nn.Dense for checkpoint/converter compatibility.
+    """
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.features_in, self.features_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
 
 
 class GatedResidual(nn.Module):
@@ -51,13 +75,25 @@ class GatedResidual(nn.Module):
 
 
 class Attention(nn.Module):
+    """Edge-biased attention over beads.
+
+    Two execution paths with identical math:
+    - geometric (production): edge kernels folded onto the raw geometric
+      channels, no N^2 feature tensors (ops/attention.py
+      geometric_edge_attention),
+    - general: explicit (B, N, N, De) hidden edge tensor
+      (ops/attention.py edge_biased_attention), kept as the oracle and for
+      future nonlinear edge featurizations (e.g. RBF).
+    """
+
     dim: int
+    edge_dim: int
     heads: int = 8
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, nodes, edges):
+    def __call__(self, nodes, edges=None, geom=None):
         b, n, _ = nodes.shape
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, name="to_q", dtype=self.dtype)(nodes)
@@ -67,25 +103,41 @@ class Attention(nn.Module):
         k = k.reshape(b, n, self.heads, self.dim_head)
         v = v.reshape(b, n, self.heads, self.dim_head)
 
-        edge_dim = edges.shape[-1]
         w_e = self.param(
             "edges_to_kv_kernel",
             nn.initializers.lecun_normal(),
-            (edge_dim, inner),
+            (self.edge_dim, inner),
         ).astype(self.dtype)
         b_e = self.param(
             "edges_to_kv_bias", nn.initializers.zeros, (inner,)
         ).astype(self.dtype)
+        scale = self.dim_head**-0.5
 
-        out = edge_biased_attention(
-            q,
-            k,
-            v,
-            edges,
-            w_e.reshape(edge_dim, self.heads, self.dim_head),
-            b_e.reshape(self.heads, self.dim_head),
-            self.dim_head**-0.5,
-        )
+        if geom is not None:
+            x, w_emb, b_emb, has_diff, has_dist = geom
+            # Fold edge_embedding and edges_to_kv into one affine map of the
+            # raw channels: K_comb (C, H, dh), b_comb (H, dh).
+            k_comb = (w_emb.astype(self.dtype) @ w_e).reshape(
+                -1, self.heads, self.dim_head
+            )
+            b_comb = (b_emb.astype(self.dtype) @ w_e + b_e).reshape(
+                self.heads, self.dim_head
+            )
+            k_diff = k_comb[:3] if has_diff else None
+            k_dist = k_comb[3 if has_diff else 0] if has_dist else None
+            out = geometric_edge_attention(
+                q, k, v, x.astype(self.dtype), k_diff, k_dist, b_comb, scale
+            )
+        else:
+            out = edge_biased_attention(
+                q,
+                k,
+                v,
+                edges,
+                w_e.reshape(self.edge_dim, self.heads, self.dim_head),
+                b_e.reshape(self.heads, self.dim_head),
+                scale,
+            )
         out = out.reshape(b, n, inner)
         return nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
@@ -121,6 +173,18 @@ class GraphTransformer(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
+    # Geometric path: fold the (linear) edge pipeline onto raw diff/dist
+    # channels so no N^2 feature tensor is ever materialized. Identical math
+    # (test-verified); disable only for debugging/oracle comparison.
+    use_geometric_edges: bool = True
+
+    @property
+    def edge_in_dim(self) -> int:
+        return (
+            3 * self.use_intrinsic_coords
+            + self.use_distances
+            + int(not self.use_intrinsic_coords and not self.use_distances)
+        )
 
     def edge_features(self, x):
         """Edge attributes (reference models/graph_transformer.py:116-140).
@@ -158,19 +222,30 @@ class GraphTransformer(nn.Module):
         nodes = nn.Dense(self.hidden_nf, name="node_embedding", dtype=self.dtype)(
             node_in
         )
-        edges = nn.Dense(self.hidden_nf, name="edge_embedding", dtype=self.dtype)(
-            self.edge_features(x)
-        )
+        w_emb, b_emb = LinearParams(
+            self.edge_in_dim, self.hidden_nf, name="edge_embedding"
+        )()
+        if self.use_geometric_edges:
+            # neither diff nor dist (zero-feature config) -> bias-only edges
+            geom = (x, w_emb, b_emb, self.use_intrinsic_coords, self.use_distances)
+            edges = None
+        else:
+            geom = None
+            edges = (
+                self.edge_features(x) @ w_emb.astype(self.dtype)
+                + b_emb.astype(self.dtype)
+            )
 
         for i in range(self.n_layers):
             attn_in = nn.LayerNorm(epsilon=1e-5, name=f"layers_{i}_attn_norm")(nodes)
             attn_out = Attention(
                 dim=self.hidden_nf,
+                edge_dim=self.hidden_nf,
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dtype=self.dtype,
                 name=f"layers_{i}_attn",
-            )(attn_in, edges)
+            )(attn_in, edges=edges, geom=geom)
             nodes = GatedResidual(dtype=self.dtype, name=f"layers_{i}_attn_res")(
                 attn_out, nodes
             )

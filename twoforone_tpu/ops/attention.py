@@ -66,3 +66,70 @@ def _softmax_last(x):
     x = x - jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x)
     return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def geometric_edge_attention(q, k, v, x, k_diff, k_dist, b_comb, scale):
+    """Edge-biased attention with the N^2 edge tensors eliminated.
+
+    Every edge-feature configuration of the reference
+    (models/graph_transformer.py:116-140) is LINEAR in the raw geometric
+    channels: coordinate differences ``diff[b,i,j] = x_j - x_i`` and squared
+    distances ``dist[b,i,j] = |x_i|^2 + |x_j|^2 - 2 <x_i, x_j>``. Since both
+    ``edge_embedding`` and ``edges_to_kv`` are affine maps with no
+    nonlinearity between them (norm_edges is Identity in the reference,
+    models/graph_transformer.py:288), the per-head edge keys/values are
+
+        ek[b,i,j] = diff[b,i,j] @ K_diff + dist[b,i,j] * k_dist + b_comb
+
+    with the COMBINED kernels ``K_diff = W_emb_diff @ W_e`` (3, H, dh),
+    ``k_dist = w_emb_dist @ W_e`` (H, dh), ``b_comb = b_emb @ W_e + b_e``.
+    Both attention contractions then decompose exactly:
+
+      score:  q . ek = (q K_diff) . (x_j - x_i)
+                       + (q k_dist) (sq_i + sq_j - 2 gram_ij) + q . b_comb
+      value:  sum_j a_ij ek_ij = ((a x)_i - x_i) K_diff
+                       + ((a sq)_i + sq_i - 2 (a*gram)_i) k_dist + b_comb
+
+    eliminating ALL (B, N, N, De) and (B, H, N, N, dh) tensors — the only
+    N^2 arrays left are the attention logits. Exact algebraic identity with
+    the naive reference computation (test-verified).
+
+    Args:
+      q, k, v: (B, N, H, dh)
+      x:       (B, N, 3) centered coordinates
+      k_diff:  (3, H, dh) combined diff kernel, or None
+      k_dist:  (H, dh) combined dist kernel, or None
+      b_comb:  (H, dh) combined bias
+      scale:   dh ** -0.5
+    Returns: (B, N, H, dh)
+    """
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k)
+    sim = sim + jnp.einsum("bihd,hd->bhi", q, b_comb)[..., None]
+
+    if k_diff is not None:
+        q_kd = jnp.einsum("bihd,chd->bhic", q, k_diff)  # (B, H, N, 3)
+        sim = sim + jnp.einsum("bhic,bjc->bhij", q_kd, x)
+        sim = sim - jnp.einsum("bhic,bic->bhi", q_kd, x)[..., None]
+    if k_dist is not None:
+        sq = jnp.sum(x * x, axis=-1)  # (B, N)
+        gram = jnp.einsum("bic,bjc->bij", x, x)  # (B, N, N)
+        q_ks = jnp.einsum("bihd,hd->bhi", q, k_dist)  # (B, H, N)
+        # dist[b,i,j] = sq_i + sq_j - 2 gram_ij, broadcast to (B, 1, N, N)
+        dist = (sq[:, :, None] + sq[:, None, :] - 2.0 * gram)[:, None]
+        sim = sim + q_ks[..., None] * dist
+
+    attn = _softmax_last(scale * sim)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+    out = out + b_comb[None, None]  # rows of attn sum to 1
+
+    if k_diff is not None:
+        xbar = jnp.einsum("bhij,bjc->bhic", attn, x)
+        # fdiff[b,h,i,c] = xbar - x_i ; x broadcast over heads
+        fdiff = xbar - x[:, None, :, :]
+        out = out + jnp.einsum("bhic,chd->bihd", fdiff, k_diff)
+    if k_dist is not None:
+        attn_sq = jnp.einsum("bhij,bj->bhi", attn, sq)
+        attn_gram = jnp.einsum("bhij,bij->bhi", attn, gram)
+        fdist = attn_sq + sq[:, None, :] - 2.0 * attn_gram  # (B, H, N)
+        out = out + jnp.einsum("bhi,hd->bihd", fdist, k_dist)
+    return out
