@@ -1,0 +1,302 @@
+"""Fused score-step Pallas kernel: the whole force evaluation in one TPU kernel.
+
+The Langevin hot loop evaluates forces = -d(sum E)/dx through the full graph
+transformer every MD step (reference dynamics/langevin_cgnet.py:737-771, one
+force call per step). Under plain XLA this is hundreds of small ops with
+HBM-resident intermediates between fusion boundaries; at bead counts <= 56
+and hidden sizes <= 128 the whole computation for a block of chains fits in
+VMEM.
+
+This kernel runs the COMPLETE energy forward AND its backward for a block of
+chains per grid step. The backward comes from ``jax.grad`` traced inside the
+kernel body (a Pallas body is an ordinary jnp program), so no hand-derived
+VJP is needed. To satisfy Mosaic's dot lowering, the graph-transformer math
+is expressed with only 2D matmuls and single-batch-dim 3D matmuls:
+
+- heads are merged into the batch dim for the N x N attention contractions,
+- all per-head edge projections (the geometric factorization of
+  ops/attention.py) become block-diagonal 2D matrices, precomputed host-side
+  from the parameters.
+
+Inference-only by design: the Langevin force field and the reverse-diffusion
+chain need force VALUES, not parameter gradients. Training keeps the standard
+XLA path (which supports the second-order grads through forces).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_diag_per_head(k_per_head: np.ndarray) -> np.ndarray:
+    """(C, H, dh) per-head kernel -> (H*dh, H*C) block-diagonal 2D matrix
+    mapping flattened head features to per-head C-channel projections:
+    out[(h, c)] = sum_d in[(h, d)] * k[c, h, d]."""
+    c, h, dh = k_per_head.shape
+    big = np.zeros((h, dh, h, c), dtype=np.float32)
+    for i in range(h):
+        big[i, :, i, :] = k_per_head[:, i, :].T
+    return big.reshape(h * dh, h * c)
+
+
+def _augment_params(model, params):
+    """Precompute per-layer combined/block-diagonal edge matrices (host-side)."""
+    p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    heads, dh = model.heads, model.dim_head
+    w_emb = p["edge_embedding"]["kernel"]  # (C_in, De)
+    b_emb = p["edge_embedding"]["bias"]
+    derived = []
+    for i in range(model.n_layers):
+        attn = p[f"layers_{i}_attn"]
+        w_e = attn["edges_to_kv_kernel"]  # (De, inner)
+        b_e = attn["edges_to_kv_bias"]
+        k_comb = w_emb @ w_e  # (C_in, inner)
+        b_comb = b_emb @ w_e + b_e  # (inner,)
+        d = {"b_comb": b_comb, "b_big": _block_diag_per_head(
+            b_comb.reshape(1, heads, dh))}
+        if model.use_intrinsic_coords:
+            d["k_diff_big"] = _block_diag_per_head(
+                k_comb[:3].reshape(3, heads, dh)
+            )  # (inner, H*3)
+        if model.use_distances:
+            row = 3 if model.use_intrinsic_coords else 0
+            d["k_dist_big"] = _block_diag_per_head(
+                k_comb[row : row + 1].reshape(1, heads, dh)
+            )  # (inner, H)
+        derived.append(d)
+    return p, derived
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _bmm(a, b):
+    """(Z, M, K) @ (Z, K, N) -> (Z, M, N), single batch dim."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.custom_jvp
+def _erf(x):
+    """erf via the Abramowitz-Stegun 7.1.26 rational approximation (max abs
+    error 1.5e-7 — below f32 resolution for the GELU use). Mosaic has no erf
+    primitive; this uses only exp/abs/mul, all supported."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+@_erf.defjvp
+def _erf_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    # exact derivative: d erf / dx = 2/sqrt(pi) * exp(-x^2)
+    return _erf(x), dx * (2.0 / jnp.sqrt(jnp.pi)) * jnp.exp(-x * x)
+
+
+def _gelu_exact(x):
+    """Exact (erf-based) GELU, matching torch.nn.GELU / jax.nn.gelu
+    (approximate=False), built from Mosaic-supported primitives."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
+
+
+def _layer_norm(x2d, scale, bias, eps=1e-5):
+    mean = x2d.mean(axis=-1, keepdims=True)
+    var = ((x2d - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x2d - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dense3(z, kernel, bias=None):
+    """(TB, N, K) @ (K, M) -> (TB, N, M) via a shared-rhs batched dot."""
+    out = jax.lax.dot_general(
+        z, kernel, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out if bias is None else out + bias
+
+
+def _energy_forward(xc, p, derived, model, t_norm):
+    """Energy sum for a block of chains; Mosaic-friendly op set only.
+
+    xc: (TB, N, 3) centered coordinates. Returns scalar sum of energies.
+    Exact same math as GraphTransformer.__call__ with geometric edges.
+    Every activation stays (TB, N, C) — heads are a static python loop over
+    minor-dim slices (Mosaic supports neither 4D reshapes nor two batch dims
+    in dot_general).
+    """
+    tb, n, _ = xc.shape
+    heads, dh = model.heads, model.dim_head
+    inner = heads * dh
+    scale = dh**-0.5
+
+    # Node features: one-hot + (abs coords) + t.
+    onehot = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (tb, n, n))
+    t_feat = jnp.full((tb, n, 1), t_norm, dtype=jnp.float32)
+    if model.use_abs_coords:
+        node_in = jnp.concatenate([onehot, xc, t_feat], axis=-1)
+    else:
+        node_in = jnp.concatenate([onehot, t_feat], axis=-1)
+    nodes = _dense3(node_in, p["node_embedding"]["kernel"], p["node_embedding"]["bias"])
+
+    if model.use_distances:
+        sq = jnp.sum(xc * xc, axis=-1)  # (TB, N)
+        gram = _bmm(xc, jnp.swapaxes(xc, 1, 2))  # (TB, N, N)
+        dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram  # (TB, N, N)
+
+    xc_t = jnp.swapaxes(xc, 1, 2)  # (TB, 3, N)
+
+    for i in range(model.n_layers):
+        d = derived[i]
+        ln = p[f"layers_{i}_attn_norm"]
+        h_ln = _layer_norm(nodes, ln["scale"], ln["bias"])
+        ap = p[f"layers_{i}_attn"]
+        q = _dense3(h_ln, ap["to_q"]["kernel"], ap["to_q"]["bias"])  # (TB, N, inner)
+        kv = _dense3(h_ln, ap["to_kv"]["kernel"], ap["to_kv"]["bias"])
+        k, v = kv[..., :inner], kv[..., inner:]
+
+        q_b = _dense3(q, d["b_big"])  # (TB, N, H): per-head q . b_comb
+        if model.use_intrinsic_coords:
+            q_kd = _dense3(q, d["k_diff_big"])  # (TB, N, H*3)
+        if model.use_distances:
+            q_ks = _dense3(q, d["k_dist_big"])  # (TB, N, H)
+
+        head_outs = []
+        fdiff_cols = []
+        fdist_cols = []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            sim = _bmm(q[..., sl], jnp.swapaxes(k[..., sl], 1, 2))  # (TB, N, N)
+            sim = sim + q_b[..., h][..., None]
+            if model.use_intrinsic_coords:
+                qkd_h = q_kd[..., h * 3 : (h + 1) * 3]  # (TB, N, 3)
+                sim = sim + _bmm(qkd_h, xc_t)
+                sim = sim - jnp.sum(qkd_h * xc, axis=-1)[..., None]
+            if model.use_distances:
+                sim = sim + q_ks[..., h][..., None] * dist
+            attn = jax.nn.softmax(scale * sim, axis=-1)
+            head_outs.append(_bmm(attn, v[..., sl]))  # (TB, N, dh)
+            if model.use_intrinsic_coords:
+                fdiff_cols.append(_bmm(attn, xc) - xc)  # (TB, N, 3)
+            if model.use_distances:
+                attn_sq = jnp.sum(attn * sq[:, None, :], axis=-1)  # (TB, N)
+                attn_gram = jnp.sum(attn * gram, axis=-1)
+                fdist_cols.append((attn_sq + sq - 2.0 * attn_gram)[..., None])
+
+        out = jnp.concatenate(head_outs, axis=-1) + d["b_comb"]  # (TB, N, inner)
+        if model.use_intrinsic_coords:
+            fdiff = jnp.concatenate(fdiff_cols, axis=-1)  # (TB, N, H*3)
+            out = out + _dense3(fdiff, d["k_diff_big"].T)
+        if model.use_distances:
+            fdist = jnp.concatenate(fdist_cols, axis=-1)  # (TB, N, H)
+            out = out + _dense3(fdist, d["k_dist_big"].T)
+
+        attn_out = _dense3(out, ap["to_out"]["kernel"], ap["to_out"]["bias"])
+        gr = p[f"layers_{i}_attn_res"]["proj"]["kernel"]
+        gate_in = jnp.concatenate([attn_out, nodes, attn_out - nodes], axis=-1)
+        gate = jax.nn.sigmoid(_dense3(gate_in, gr))
+        nodes = attn_out * gate + nodes * (1.0 - gate)
+
+        ln2 = p[f"layers_{i}_ff_norm"]
+        ffp = p[f"layers_{i}_ff"]
+        h2 = _layer_norm(nodes, ln2["scale"], ln2["bias"])
+        ff = _dense3(h2, ffp["fc1"]["kernel"], ffp["fc1"]["bias"])
+        ff = _gelu_exact(ff)
+        ff = _dense3(ff, ffp["fc2"]["kernel"], ffp["fc2"]["bias"])
+        gr2 = p[f"layers_{i}_ff_res"]["proj"]["kernel"]
+        gate_in = jnp.concatenate([ff, nodes, ff - nodes], axis=-1)
+        gate = jax.nn.sigmoid(_dense3(gate_in, gr2))
+        nodes = ff * gate + nodes * (1.0 - gate)
+
+    energy = _dense3(nodes, p["node_decoder"]["kernel"], p["node_decoder"]["bias"])
+    return jnp.sum(energy)
+
+
+def make_fused_force_kernel(
+    model,
+    params,
+    t_norm: float,
+    block_chains: int = 32,
+    return_eps: bool = False,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``x (B, N, 3) -> forces/eps_hat (B, N, 3)`` as one Pallas kernel.
+
+    ``model``: conservative GraphTransformer (any edge config). ``t_norm`` is
+    the fixed normalized diffusion time (Langevin runs at one noise level,
+    reference dynamics/langevin.py:70). With ``return_eps`` the kernel returns
+    +dE/dx (the noise prediction) instead of forces -dE/dx. B must be a
+    multiple of ``block_chains`` (see :func:`pad_chains`).
+    """
+    assert model.conservative, "fused kernel implements the conservative path"
+    p_np, derived = _augment_params(model, params)
+    flat_inputs, treedef = jax.tree_util.tree_flatten((p_np, derived))
+    flat_inputs = [jnp.asarray(a) for a in flat_inputs]
+    n_beads = model.num_beads
+    sign = 1.0 if return_eps else -1.0
+
+    def kernel(x_ref, *refs):
+        leaves = [r[:] for r in refs[:-1]]
+        out_ref = refs[-1]
+        p, der = jax.tree_util.tree_unflatten(treedef, leaves)
+        x = x_ref[:]
+        xc = x - x.mean(axis=1, keepdims=True)
+
+        def energy(xi):
+            return _energy_forward(xi, p, der, model, t_norm)
+
+        out_ref[:] = sign * jax.grad(energy)(xc)
+
+    def fused(x):
+        b = x.shape[0]
+        assert b % block_chains == 0, (
+            f"batch {b} must be a multiple of block_chains={block_chains}"
+        )
+        grid = (b // block_chains,)
+        x_spec = pl.BlockSpec(
+            (block_chains, n_beads, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        param_specs = [
+            pl.BlockSpec(
+                leaf.shape,
+                (lambda i, nd=leaf.ndim: (0,) * nd),
+                memory_space=pltpu.VMEM,
+            )
+            for leaf in flat_inputs
+        ]
+        out_spec = pl.BlockSpec(
+            (block_chains, n_beads, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_spec] + param_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n_beads, 3), jnp.float32),
+            interpret=interpret,
+        )(x, *flat_inputs)
+
+    return fused
+
+
+def pad_chains(x: jnp.ndarray, block: int):
+    """Pad the chain axis up to a multiple of ``block``; returns (padded, n)."""
+    b = x.shape[0]
+    rem = (-b) % block
+    if rem == 0:
+        return x, b
+    pad = jnp.broadcast_to(x[:1], (rem,) + x.shape[1:])
+    return jnp.concatenate([x, pad], axis=0), b

@@ -138,9 +138,10 @@ def kabsch_rmsd(xyz: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", u, vt))
     # Proper rotation: flip the smallest singular value's axis if det < 0.
     d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1)
-    # msd = (|x|^2 + |r|^2 - 2 * sum(d * s)) / N
-    traces = jnp.sum(s * d, axis=-1)
-    sq = jnp.sum(x**2, axis=(-2, -1)) + jnp.sum(r**2)
-    n = x.shape[-2]
-    msd = jnp.maximum(sq - 2.0 * traces, 0.0) / n
+    # Optimal rotation R = u diag(d) vt; apply explicitly and measure — avoids
+    # the catastrophic cancellation of the |x|^2 + |r|^2 - 2 tr(S) shortcut
+    # in float32.
+    rot = jnp.einsum("bij,bj,bjk->bik", u, d, vt)  # (B, 3, 3)
+    x_aligned = jnp.einsum("bni,bij->bnj", x, rot)
+    msd = jnp.mean(jnp.sum((x_aligned - r[None]) ** 2, axis=-1), axis=-1)
     return jnp.sqrt(msd)
