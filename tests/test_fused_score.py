@@ -1,0 +1,83 @@
+"""Fused Pallas score kernel vs the standard XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twoforone_tpu.models.graph_transformer import GraphTransformer, score_forward
+from twoforone_tpu.ops.fused_score import (
+    _erf,
+    make_fused_force_kernel,
+    pad_chains,
+)
+
+
+def _setup(intrinsic=True, distances=False, n_beads=10, hidden=32, layers=2):
+    model = GraphTransformer(
+        num_beads=n_beads, hidden_nf=hidden, n_layers=layers,
+        use_intrinsic_coords=intrinsic, use_abs_coords=False,
+        use_distances=distances, conservative=True,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, n_beads, 3)), jnp.zeros((1,)),
+        return_energy=True,
+    )["params"]
+    return model, params
+
+
+def test_erf_approximation():
+    x = jnp.linspace(-4, 4, 201)
+    import scipy.special as sp
+
+    np.testing.assert_allclose(np.asarray(_erf(x)), sp.erf(np.asarray(x)), atol=5e-7)
+    # exact custom derivative
+    g = jax.vmap(jax.grad(_erf))(x)
+    expected = 2 / np.sqrt(np.pi) * np.exp(-np.asarray(x) ** 2)
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("intrinsic,distances", [(True, False), (True, True), (False, True)])
+def test_fused_kernel_matches_xla(intrinsic, distances):
+    model, params = _setup(intrinsic=intrinsic, distances=distances)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 10, 3)) * 2.0
+    x = x - x.mean(axis=1, keepdims=True)
+    t = jnp.full((8,), 0.02)
+    ref = score_forward(model, params, x, t)
+    fused = make_fused_force_kernel(model, params, 0.02, block_chains=4, interpret=True)
+    out = fused(x)
+    # both paths are ~1e-4 from the float64 ground truth (forces scale ~35);
+    # the comparison bound is mutual float32 noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-2)
+
+
+def test_fused_kernel_in_langevin_force_fn():
+    """The fused force field must equal the XLA ForcesWrapper conversion."""
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.dynamics.langevin import make_diffusion_force_fn
+
+    model, params = _setup()
+    gd = GaussianDiffusion(model=model, num_atoms=10, timesteps=1000,
+                           norm_factor=3.11, loss_weights="ones")
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, 10, 3))
+    x = x - x.mean(axis=1, keepdims=True)
+    f_xla = make_diffusion_force_fn(gd, params, 20, kbt_inv=2.0, fused="never")
+    # interpret-mode fused kernel on CPU via monkeypatched block size
+    from twoforone_tpu.ops import fused_score
+
+    kernel = fused_score.make_fused_force_kernel(model, params, 20 / 1000,
+                                                 block_chains=2, interpret=True)
+    scale = 1.0 / (2.0 * float(gd.buffers.sqrt_one_minus_alphas_cumprod[20]))
+    forces_fused = -kernel(x) * scale
+    _, forces_ref = f_xla(x)
+    np.testing.assert_allclose(
+        np.asarray(forces_fused), np.asarray(forces_ref), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_pad_chains():
+    x = jnp.ones((10, 5, 3))
+    padded, n = pad_chains(x, 8)
+    assert padded.shape == (16, 5, 3) and n == 10
+    padded2, n2 = pad_chains(x, 5)
+    assert padded2.shape == (10, 5, 3) and n2 == 10

@@ -29,19 +29,53 @@ def make_diffusion_force_fn(
     params,
     t: int,
     kbt_inv: float,
+    fused: str = "auto",
+    fused_block: int = 128,
 ):
     """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
 
-    ``x`` is in *normalized* units (divided by norm_factor). In conservative
-    mode the potential returned is the summed per-node energy rescaled by the
-    same factor as the forces; otherwise zeros (the reference returns zeros,
-    dynamics/langevin.py:92).
+    ``x`` is in *normalized* units (divided by norm_factor). The potential
+    returned is zeros (as in the reference, dynamics/langevin.py:92).
+
+    ``fused`` selects the fused Pallas score kernel (ops/fused_score.py) that
+    runs the entire force evaluation in one TPU kernel: "auto" uses it when
+    the model is conservative and running on TPU, "always"/"never" force the
+    choice. The XLA path is used otherwise (and for non-conservative models).
     """
     buf = diffusion.buffers
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
     t_norm = float(t) / diffusion.timesteps
-    score_fn = diffusion.score_fn(params)
     scale = 1.0 / (kbt_inv * sqrt_one_minus)
+
+    use_fused = False
+    if fused == "always":
+        use_fused = True
+    elif fused == "auto":
+        import jax
+
+        use_fused = (
+            getattr(diffusion.model, "conservative", False)
+            and jax.default_backend() not in ("cpu",)
+        )
+
+    if use_fused:
+        from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
+
+        kernel = make_fused_force_kernel(
+            diffusion.model, params, t_norm, block_chains=fused_block
+        )
+
+        def force_fn(x):
+            b = x.shape[0]
+            xp, _ = pad_chains(x, fused_block)
+            eps_hat = kernel(xp)[:b]
+            forces = -eps_hat * scale
+            potential = jnp.zeros((b,), dtype=jnp.float32)
+            return potential, forces
+
+        return force_fn
+
+    score_fn = diffusion.score_fn(params)
 
     def force_fn(x):
         b = x.shape[0]

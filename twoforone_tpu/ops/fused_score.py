@@ -73,15 +73,21 @@ def _augment_params(model, params):
     return p, derived
 
 
+# Matmul precision inside the kernel: "default" uses bf16 MXU passes
+# (~0.5% force error, fine for sampling); "highest" uses 6-pass f32
+# (reference-grade numerics, ~3x matmul cost). Set via make_fused_force_kernel.
+_PRECISION = [jax.lax.Precision.DEFAULT]
+
+
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_PRECISION[0])
 
 
 def _bmm(a, b):
     """(Z, M, K) @ (Z, K, N) -> (Z, M, N), single batch dim."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PRECISION[0],
     )
 
 
@@ -124,7 +130,7 @@ def _dense3(z, kernel, bias=None):
     """(TB, N, K) @ (K, M) -> (TB, N, M) via a shared-rhs batched dot."""
     out = jax.lax.dot_general(
         z, kernel, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PRECISION[0],
     )
     return out if bias is None else out + bias
 
@@ -230,23 +236,27 @@ def make_fused_force_kernel(
     params,
     t_norm: float,
     block_chains: int = 32,
-    return_eps: bool = False,
     interpret: bool = False,
+    precision: str = "default",
 ) -> Callable:
-    """Build ``x (B, N, 3) -> forces/eps_hat (B, N, 3)`` as one Pallas kernel.
+    """Build ``x (B, N, 3) -> eps_hat (B, N, 3)`` as one Pallas kernel.
 
     ``model``: conservative GraphTransformer (any edge config). ``t_norm`` is
     the fixed normalized diffusion time (Langevin runs at one noise level,
-    reference dynamics/langevin.py:70). With ``return_eps`` the kernel returns
-    +dE/dx (the noise prediction) instead of forces -dE/dx. B must be a
-    multiple of ``block_chains`` (see :func:`pad_chains`).
+    reference dynamics/langevin.py:70). The output follows the score-model
+    convention: eps_hat = -dE/dx, identical to ``score_forward``; the
+    Langevin driver converts it to physical forces with its -1/(kbt sqrt)
+    rescale (reference dynamics/langevin.py:78-87). B must be a multiple of
+    ``block_chains`` (see :func:`pad_chains`).
     """
     assert model.conservative, "fused kernel implements the conservative path"
+    _PRECISION[0] = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
     p_np, derived = _augment_params(model, params)
     flat_inputs, treedef = jax.tree_util.tree_flatten((p_np, derived))
     flat_inputs = [jnp.asarray(a) for a in flat_inputs]
     n_beads = model.num_beads
-    sign = 1.0 if return_eps else -1.0
 
     def kernel(x_ref, *refs):
         leaves = [r[:] for r in refs[:-1]]
@@ -258,7 +268,7 @@ def make_fused_force_kernel(
         def energy(xi):
             return _energy_forward(xi, p, der, model, t_norm)
 
-        out_ref[:] = sign * jax.grad(energy)(xc)
+        out_ref[:] = -jax.grad(energy)(xc)
 
     def fused(x):
         b = x.shape[0]
