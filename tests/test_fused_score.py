@@ -81,3 +81,18 @@ def test_pad_chains():
     assert padded.shape == (16, 5, 3) and n == 10
     padded2, n2 = pad_chains(x, 5)
     assert padded2.shape == (10, 5, 3) and n2 == 10
+
+
+def test_fused_sampling_matches_standard(monkeypatch):
+    """Reverse-chain sampling through the runtime-t fused kernel must match
+    the standard path (same keys, tiny T)."""
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+
+    model, params = _setup(hidden=16, layers=1)
+    gd = GaussianDiffusion(model=model, num_atoms=10, timesteps=8,
+                           norm_factor=2.0, loss_weights="ones")
+    key = jax.random.PRNGKey(0)
+    ref = gd.sample(params, 4, key)
+    fused_fn = gd.make_fused_sample_fn(params, 4, block_chains=4, interpret=True)
+    out = fused_fn(key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)

@@ -248,3 +248,30 @@ class GaussianDiffusion:
     def make_sample_fn(self, batch_size: int):
         """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
         return jax.jit(lambda params, key: self.sample(params, batch_size, key))
+
+    def make_fused_sample_fn(self, params, batch_size: int,
+                             block_chains: int = 128, interpret: bool = False):
+        """Jitted sampling closure using the fused Pallas score kernel
+        (conservative models only): (key) -> (batch, N, 3).
+
+        Parameters are baked into the kernel at build time (the per-head edge
+        matrices are precomputed host-side), so unlike make_sample_fn this
+        binds params once — the right trade for inference/serving.
+        """
+        from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
+
+        kernel = make_fused_force_kernel(
+            self.model, params, None, block_chains=block_chains, interpret=interpret
+        )
+
+        def score_fn(x, t_norm_vec):
+            xp, b = pad_chains(x, block_chains)
+            return kernel(xp, t_norm_vec[0])[:b]
+
+        shape = (batch_size, self.num_atoms, 3)
+
+        def sample(key):
+            mol = p_sample_loop(self.buffers, score_fn, shape, key, self.objective)
+            return mol * self.norm_factor
+
+        return jax.jit(sample)

@@ -234,19 +234,21 @@ def _energy_forward(xc, p, derived, model, t_norm):
 def make_fused_force_kernel(
     model,
     params,
-    t_norm: float,
+    t_norm: float = None,
     block_chains: int = 32,
     interpret: bool = False,
     precision: str = "default",
 ) -> Callable:
-    """Build ``x (B, N, 3) -> eps_hat (B, N, 3)`` as one Pallas kernel.
+    """Build the score-net forward as ONE Pallas kernel.
 
-    ``model``: conservative GraphTransformer (any edge config). ``t_norm`` is
-    the fixed normalized diffusion time (Langevin runs at one noise level,
-    reference dynamics/langevin.py:70). The output follows the score-model
-    convention: eps_hat = -dE/dx, identical to ``score_forward``; the
-    Langevin driver converts it to physical forces with its -1/(kbt sqrt)
-    rescale (reference dynamics/langevin.py:78-87). B must be a multiple of
+    ``model``: conservative GraphTransformer (any edge config). With a fixed
+    ``t_norm`` (Langevin runs at one noise level, reference
+    dynamics/langevin.py:70) the returned callable is ``x -> eps_hat``; with
+    ``t_norm=None`` it is ``(x, t_norm_scalar) -> eps_hat`` (for the reverse
+    chain, where t varies per step). The output follows the score-model
+    convention: eps_hat = -dE/dx, identical to ``score_forward``; the Langevin
+    driver converts it to physical forces with its -1/(kbt sqrt) rescale
+    (reference dynamics/langevin.py:78-87). B must be a multiple of
     ``block_chains`` (see :func:`pad_chains`).
     """
     assert model.conservative, "fused kernel implements the conservative path"
@@ -257,20 +259,29 @@ def make_fused_force_kernel(
     flat_inputs, treedef = jax.tree_util.tree_flatten((p_np, derived))
     flat_inputs = [jnp.asarray(a) for a in flat_inputs]
     n_beads = model.num_beads
+    runtime_t = t_norm is None
 
-    def kernel(x_ref, *refs):
-        leaves = [r[:] for r in refs[:-1]]
-        out_ref = refs[-1]
+    def kernel(*refs):
+        if runtime_t:
+            t_ref, x_ref = refs[0], refs[1]
+            rest = refs[2:]
+            t_val = t_ref[0]
+        else:
+            x_ref = refs[0]
+            rest = refs[1:]
+            t_val = t_norm
+        leaves = [r[:] for r in rest[:-1]]
+        out_ref = rest[-1]
         p, der = jax.tree_util.tree_unflatten(treedef, leaves)
         x = x_ref[:]
         xc = x - x.mean(axis=1, keepdims=True)
 
         def energy(xi):
-            return _energy_forward(xi, p, der, model, t_norm)
+            return _energy_forward(xi, p, der, model, t_val)
 
         out_ref[:] = -jax.grad(energy)(xc)
 
-    def fused(x):
+    def call(x, t=None):
         b = x.shape[0]
         assert b % block_chains == 0, (
             f"batch {b} must be a multiple of block_chains={block_chains}"
@@ -290,16 +301,24 @@ def make_fused_force_kernel(
         out_spec = pl.BlockSpec(
             (block_chains, n_beads, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
+        in_specs = [x_spec] + param_specs
+        args = [x] + flat_inputs
+        if runtime_t:
+            t_spec = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+            in_specs = [t_spec] + in_specs
+            args = [jnp.reshape(jnp.asarray(t, jnp.float32), (1,))] + args
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[x_spec] + param_specs,
+            in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, n_beads, 3), jnp.float32),
             interpret=interpret,
-        )(x, *flat_inputs)
+        )(*args)
 
-    return fused
+    if runtime_t:
+        return call
+    return lambda x: call(x)
 
 
 def pad_chains(x: jnp.ndarray, block: int):
