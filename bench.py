@@ -23,6 +23,10 @@ import numpy as np
 def main():
     import jax
 
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion
     from __graft_entry__ import _flagship
 

@@ -99,6 +99,10 @@ def load_model(model_path: str, checkpoint: str, data_folder=None):
 def main(argv=None):
     import jax
 
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from twoforone_tpu.data.molecules import temp_dict
     from twoforone_tpu.data.pdb import save_pdb
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion

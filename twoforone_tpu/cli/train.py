@@ -102,6 +102,9 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(argv=None):
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     print(cfg)

@@ -29,7 +29,7 @@ def make_diffusion_force_fn(
     params,
     t: int,
     kbt_inv: float,
-    fused: str = "auto",
+    fused: str = "never",
     fused_block: int = 128,
 ):
     """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
@@ -40,7 +40,9 @@ def make_diffusion_force_fn(
     ``fused`` selects the fused Pallas score kernel (ops/fused_score.py) that
     runs the entire force evaluation in one TPU kernel: "auto" uses it when
     the model is conservative and running on TPU, "always"/"never" force the
-    choice. The XLA path is used otherwise (and for non-conservative models).
+    choice. Default "never": the fused kernel's one-time Mosaic compile runs
+    tens of minutes for full-size models (cached persistently afterwards —
+    see utils/cache.py), so it is opt-in for long production simulations.
     """
     buf = diffusion.buffers
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
@@ -114,6 +116,8 @@ class LangevinDiffusion:
         random_seed: Optional[int] = None,
         steps_per_chunk: Optional[int] = None,
         log: bool = True,
+        fused: str = "never",
+        fused_block: int = 128,
     ):
         self.norm_factor = float(diffusion.norm_factor)
         init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
@@ -128,7 +132,8 @@ class LangevinDiffusion:
             raise ValueError("Wrong kb value")
 
         force_fn = make_diffusion_force_fn(
-            diffusion, params, t, kbt_inv=self.kb_inv / temp_data
+            diffusion, params, t, kbt_inv=self.kb_inv / temp_data,
+            fused=fused, fused_block=fused_block,
         )
 
         if friction is None:

@@ -122,6 +122,19 @@ def sliding_dihedral_indices(num_beads: int) -> np.ndarray:
     return np.stack((ind, ind + 1, ind + 2, ind + 3)).T
 
 
+def unsorted_segment_sum(data, segment_ids, num_segments, normalization_factor,
+                         aggregation_method: str):
+    """Segment sum/mean (reference utils.py:161-180; kept for API parity —
+    the dense-attention main path does not use it)."""
+    seg = jax.ops.segment_sum(data, segment_ids, num_segments)
+    if aggregation_method == "sum":
+        return seg / normalization_factor
+    if aggregation_method == "mean":
+        counts = jax.ops.segment_sum(jnp.ones_like(data), segment_ids, num_segments)
+        return seg / jnp.maximum(counts, 1.0)
+    raise ValueError(f"unknown aggregation {aggregation_method}")
+
+
 def kabsch_rmsd(xyz: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """Minimum RMSD of each frame to ``ref`` after optimal superposition.
 
