@@ -37,14 +37,16 @@ def test_erf_approximation():
     np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
 
 
+@pytest.mark.parametrize("packed", [True, False])
 @pytest.mark.parametrize("intrinsic,distances", [(True, False), (True, True), (False, True)])
-def test_fused_kernel_matches_xla(intrinsic, distances):
+def test_fused_kernel_matches_xla(intrinsic, distances, packed):
     model, params = _setup(intrinsic=intrinsic, distances=distances)
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 10, 3)) * 2.0
     x = x - x.mean(axis=1, keepdims=True)
     t = jnp.full((8,), 0.02)
     ref = score_forward(model, params, x, t)
-    fused = make_fused_force_kernel(model, params, 0.02, block_chains=4, interpret=True)
+    fused = make_fused_force_kernel(model, params, 0.02, block_chains=4,
+                                    interpret=True, packed=packed)
     out = fused(x)
     # both paths are ~1e-4 from the float64 ground truth (forces scale ~35);
     # the comparison bound is mutual float32 noise
