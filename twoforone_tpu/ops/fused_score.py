@@ -45,10 +45,17 @@ def _block_diag_per_head(k_per_head: np.ndarray) -> np.ndarray:
     return big.reshape(h * dh, h * c)
 
 
-def _augment_params(model, params):
-    """Precompute per-layer combined/block-diagonal edge matrices (host-side)."""
+def _augment_params(model, params, packed: bool = False):
+    """Precompute per-layer combined/block-diagonal edge matrices (host-side).
+
+    With ``packed``, additionally split every projection into per-head weight
+    pieces (Mosaic cannot concat/slice lane-offset tiles, so the packed kernel
+    consumes offset-0 per-head arrays and folds the output unpacking through
+    per-head slices of ``to_out``).
+    """
     p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
     heads, dh = model.heads, model.dim_head
+    inner = heads * dh
     w_emb = p["edge_embedding"]["kernel"]  # (C_in, De)
     b_emb = p["edge_embedding"]["bias"]
     derived = []
@@ -69,6 +76,42 @@ def _augment_params(model, params):
             d["k_dist_big"] = _block_diag_per_head(
                 k_comb[row : row + 1].reshape(1, heads, dh)
             )  # (inner, H)
+        if packed:
+            wq = attn["to_q"]["kernel"]  # (hidden, inner)
+            bq = attn["to_q"]["bias"]
+            wkv = attn["to_kv"]["kernel"]
+            bkv = attn["to_kv"]["bias"]
+            wout = attn["to_out"]["kernel"]  # (inner, hidden)
+            sl = lambda h: slice(h * dh, (h + 1) * dh)
+            d["wq_h"] = [wq[:, sl(h)] for h in range(heads)]
+            d["bq_h"] = [bq[sl(h)] for h in range(heads)]
+            d["wk_h"] = [wkv[:, sl(h)] for h in range(heads)]
+            d["bk_h"] = [bkv[sl(h)] for h in range(heads)]
+            d["wv_h"] = [wkv[:, inner + h * dh : inner + (h + 1) * dh] for h in range(heads)]
+            d["bv_h"] = [bkv[inner + h * dh : inner + (h + 1) * dh] for h in range(heads)]
+            d["wout_h"] = [wout[sl(h), :] for h in range(heads)]
+            # per-head score-side edge kernels on q_h
+            kd = k_comb[:3].reshape(3, heads, dh) if model.use_intrinsic_coords else None
+            ks = (
+                k_comb[3 if model.use_intrinsic_coords else 0].reshape(heads, dh)
+                if model.use_distances
+                else None
+            )
+            d["kdq_h"] = [kd[:, h, :].T for h in range(heads)] if kd is not None else None
+            d["ksq_h"] = [ks[h][:, None] for h in range(heads)] if ks is not None else None
+            d["bq_dot_h"] = [b_comb[sl(h)][:, None] for h in range(heads)]
+            # value-side edge maps folded through to_out
+            d["m_diff_h"] = (
+                [kd[:, h, :] @ wout[sl(h), :] for h in range(heads)]
+                if kd is not None
+                else None
+            )
+            d["m_dist_h"] = (
+                [ks[h][None, :] @ wout[sl(h), :] for h in range(heads)]
+                if ks is not None
+                else None
+            )
+            d["b_out_total"] = b_comb @ wout + attn["to_out"]["bias"]
         derived.append(d)
     return p, derived
 
@@ -138,18 +181,17 @@ def _dense3(z, kernel, bias=None):
 def _energy_forward_packed(xc, p, derived, model, t_norm):
     """Head-PACKED energy forward: all heads in one masked attention matmul.
 
-    Rather than looping heads (8x unrolled IR, tiny 10x10 matmuls), heads are
+    Rather than looping heads over tiny 10x10 attention matmuls, heads are
     concatenated along the sequence axis: Q~ (TB, H*N, dh) etc. One batched
     matmul computes an (H*N, H*N) similarity whose off-diagonal head blocks
     are masked to -inf before the softmax — algebraically identical to
-    per-head attention, with MXU-friendly 80x80-plus tiles and ~8x fewer ops
-    (faster Mosaic compile, too). Value/geometric contractions reuse the same
-    packing; rows only attend within their head block, so attn~ @ X~ equals
-    the per-head results exactly.
+    per-head attention, with MXU-friendly 80x80-plus tiles. Per-head Q/K/V
+    are produced by host-split weight slices (Mosaic cannot concat lane-offset
+    slices), and the output unpacking is folded through per-head slices of
+    ``to_out`` so no minor-dim concat is needed.
     """
     tb, n, _ = xc.shape
     heads, dh = model.heads, model.dim_head
-    inner = heads * dh
     scale = dh**-0.5
     hn = heads * n
 
@@ -177,55 +219,55 @@ def _energy_forward_packed(xc, p, derived, model, t_norm):
             [jnp.concatenate([dist] * heads, axis=2)] * heads, axis=1
         )  # (TB, HN, HN) — only diagonal blocks are ever unmasked
 
-    def pack_heads(z, c_per_head):
-        """(TB, N, H*c) -> (TB, H*N, c): stack per-head column groups along N."""
-        return jnp.concatenate(
-            [z[..., h * c_per_head : (h + 1) * c_per_head] for h in range(heads)],
-            axis=1,
-        )
-
-    def unpack_heads(z, c_per_head):
-        """(TB, H*N, c) -> (TB, N, H*c)."""
-        return jnp.concatenate(
-            [z[:, h * n : (h + 1) * n, :] for h in range(heads)], axis=-1
-        )
-
     for i in range(model.n_layers):
         d = derived[i]
         ln = p[f"layers_{i}_attn_norm"]
         h_ln = _layer_norm(nodes, ln["scale"], ln["bias"])
-        ap = p[f"layers_{i}_attn"]
-        q = _dense3(h_ln, ap["to_q"]["kernel"], ap["to_q"]["bias"])
-        kv = _dense3(h_ln, ap["to_kv"]["kernel"], ap["to_kv"]["bias"])
-        k, v = kv[..., :inner], kv[..., inner:]
-        qp = pack_heads(q, dh)  # (TB, HN, dh)
-        kp = pack_heads(k, dh)
-        vp = pack_heads(v, dh)
+
+        # Per-head projections from host-split weights (offset-0 tiles).
+        q_list = [_dense3(h_ln, d["wq_h"][h], d["bq_h"][h]) for h in range(heads)]
+        qp = jnp.concatenate(q_list, axis=1)  # (TB, HN, dh)
+        kp = jnp.concatenate(
+            [_dense3(h_ln, d["wk_h"][h], d["bk_h"][h]) for h in range(heads)], axis=1
+        )
+        vp = jnp.concatenate(
+            [_dense3(h_ln, d["wv_h"][h], d["bv_h"][h]) for h in range(heads)], axis=1
+        )
 
         sim = _bmm(qp, jnp.swapaxes(kp, 1, 2))  # (TB, HN, HN)
-        q_b = pack_heads(_dense3(q, d["b_big"]), 1)  # (TB, HN, 1)
+        q_b = jnp.concatenate(
+            [_dense3(q_list[h], d["bq_dot_h"][h]) for h in range(heads)], axis=1
+        )  # (TB, HN, 1)
         sim = sim + q_b
         if model.use_intrinsic_coords:
-            q_kd = pack_heads(_dense3(q, d["k_diff_big"]), 3)  # (TB, HN, 3)
+            q_kd = jnp.concatenate(
+                [_dense3(q_list[h], d["kdq_h"][h]) for h in range(heads)], axis=1
+            )  # (TB, HN, 3)
             sim = sim + _bmm(q_kd, x_pack_t)
             sim = sim - jnp.sum(q_kd * x_pack, axis=-1)[..., None]
         if model.use_distances:
-            q_ks = pack_heads(_dense3(q, d["k_dist_big"]), 1)  # (TB, HN, 1)
+            q_ks = jnp.concatenate(
+                [_dense3(q_list[h], d["ksq_h"][h]) for h in range(heads)], axis=1
+            )  # (TB, HN, 1)
             sim = sim + q_ks * dist_pack
         attn = jax.nn.softmax(scale * sim + mask, axis=-1)
 
-        out = unpack_heads(_bmm(attn, vp), dh) + d["b_comb"]  # (TB, N, inner)
+        out_p = _bmm(attn, vp)  # (TB, HN, dh)
         if model.use_intrinsic_coords:
-            fdiff = _bmm(attn, x_pack) - x_pack  # (TB, HN, 3)
-            out = out + _dense3(unpack_heads(fdiff, 3), d["k_diff_big"].T)
+            fdiff_p = _bmm(attn, x_pack) - x_pack  # (TB, HN, 3)
         if model.use_distances:
-            # fdist_i = sum_j a_ij dist_ij (= attn_sq + sq_i - 2 attn_gram since
-            # rows sum to 1); dist_pack replicates dist in every block and the
-            # masked attn zeroes everything outside the head's own block.
-            fdist = jnp.sum(attn * dist_pack, axis=-1)  # (TB, HN)
-            out = out + _dense3(unpack_heads(fdist[..., None], 1), d["k_dist_big"].T)
+            fdist_p = jnp.sum(attn * dist_pack, axis=-1)[..., None]  # (TB, HN, 1)
 
-        attn_out = _dense3(out, ap["to_out"]["kernel"], ap["to_out"]["bias"])
+        # Unpack folded through per-head to_out slices (no minor-dim concat).
+        attn_out = d["b_out_total"][None, None, :]
+        for h in range(heads):
+            rows = slice(h * n, (h + 1) * n)
+            attn_out = attn_out + _dense3(out_p[:, rows, :], d["wout_h"][h])
+            if model.use_intrinsic_coords:
+                attn_out = attn_out + _dense3(fdiff_p[:, rows, :], d["m_diff_h"][h])
+            if model.use_distances:
+                attn_out = attn_out + _dense3(fdist_p[:, rows, :], d["m_dist_h"][h])
+
         gr = p[f"layers_{i}_attn_res"]["proj"]["kernel"]
         gate_in = jnp.concatenate([attn_out, nodes, attn_out - nodes], axis=-1)
         gate = jax.nn.sigmoid(_dense3(gate_in, gr))
@@ -367,7 +409,7 @@ def make_fused_force_kernel(
     _PRECISION[0] = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
-    p_np, derived = _augment_params(model, params)
+    p_np, derived = _augment_params(model, params, packed=packed)
     flat_inputs, treedef = jax.tree_util.tree_flatten((p_np, derived))
     flat_inputs = [jnp.asarray(a) for a in flat_inputs]
     n_beads = model.num_beads
