@@ -203,12 +203,6 @@ def _energy_forward_packed(xc, p, derived, model, t_norm):
         node_in = jnp.concatenate([onehot, t_feat], axis=-1)
     nodes = _dense3(node_in, p["node_embedding"]["kernel"], p["node_embedding"]["bias"])
 
-    # Block mask: -BIG outside the diagonal head blocks (built in-kernel;
-    # Pallas forbids captured array constants).
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, hn), 0) // n
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, hn), 1) // n
-    mask = jnp.where(row_head == col_head, 0.0, -1e30).astype(jnp.float32)
-
     x_pack = jnp.concatenate([xc] * heads, axis=1)  # (TB, H*N, 3)
     x_pack_t = jnp.swapaxes(x_pack, 1, 2)
     if model.use_distances:
@@ -218,8 +212,16 @@ def _energy_forward_packed(xc, p, derived, model, t_norm):
         dist_pack = jnp.concatenate(
             [jnp.concatenate([dist] * heads, axis=2)] * heads, axis=1
         )  # (TB, HN, HN) — only diagonal blocks are ever unmasked
+    else:
+        dist_pack = jnp.zeros((tb, 1, 1), jnp.float32)  # placeholder arg
 
-    for i in range(model.n_layers):
+    def layer_fn(nodes, x_pack, x_pack_t, dist_pack, i):
+        # Block mask: -BIG outside the diagonal head blocks (built in the
+        # layer body — Pallas forbids captured array constants, and the
+        # custom_vjp remat below forbids closing over traced values).
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, hn), 0) // n
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, hn), 1) // n
+        mask = jnp.where(row_head == col_head, 0.0, -1e30).astype(jnp.float32)
         d = derived[i]
         ln = p[f"layers_{i}_attn_norm"]
         h_ln = _layer_norm(nodes, ln["scale"], ln["bias"])
@@ -282,7 +284,33 @@ def _energy_forward_packed(xc, p, derived, model, t_norm):
         gr2 = p[f"layers_{i}_ff_res"]["proj"]["kernel"]
         gate_in = jnp.concatenate([ff, nodes, ff - nodes], axis=-1)
         gate = jax.nn.sigmoid(_dense3(gate_in, gr2))
-        nodes = ff * gate + nodes * (1.0 - gate)
+        return ff * gate + nodes * (1.0 - gate)
+
+    # Rematerialize each layer: without this, the in-kernel jax.grad keeps
+    # every layer's attention residuals live in VMEM simultaneously (observed
+    # ~62MB at TB=32 vs the 16MB budget); with per-layer remat the backward
+    # recomputes activations layer by layer. jax.checkpoint's remat2 primitive
+    # has no Mosaic lowering, so remat is built manually with custom_vjp
+    # (resolved during tracing — the final jaxpr holds only plain ops).
+    def remat_layer(i):
+        f = lambda z, xp, xpt, dp: layer_fn(z, xp, xpt, dp, i)
+
+        @jax.custom_vjp
+        def g(z, xp, xpt, dp):
+            return f(z, xp, xpt, dp)
+
+        def fwd(z, xp, xpt, dp):
+            return f(z, xp, xpt, dp), (z, xp, xpt, dp)
+
+        def bwd(res, ct):
+            _, vjp = jax.vjp(f, *res)
+            return vjp(ct)
+
+        g.defvjp(fwd, bwd)
+        return g
+
+    for i in range(model.n_layers):
+        nodes = remat_layer(i)(nodes, x_pack, x_pack_t, dist_pack)
 
     energy = _dense3(nodes, p["node_decoder"]["kernel"], p["node_decoder"]["bias"])
     return jnp.sum(energy)
