@@ -497,6 +497,12 @@ def make_fused_force_kernel(
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, n_beads, 3), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                # Mosaic's stack allocator does not reuse buffers across the
+                # unrolled fwd+bwd, so the default 16MB scoped-vmem budget is
+                # far too small; v5e has 128MB of physical VMEM.
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(*args)
 
     if runtime_t:
