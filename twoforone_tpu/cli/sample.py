@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp_sim", type=float, default=None)
     p.add_argument("--kb", type=str, default="consistent", help="consistent, kcal")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused", type=str, default="never",
+                   help="fused Pallas force kernel: never | auto | always "
+                        "(long one-time compile, persistently cached)")
     return p
 
 
@@ -166,6 +169,7 @@ def main(argv=None):
             friction=samp_args.friction,
             kb=samp_args.kb,
             random_seed=samp_args.seed,
+            fused=samp_args.fused,
         )
         sampled_mol = sampler.sample()
     else:
