@@ -51,6 +51,10 @@ def main():
         random_seed=0,
         steps_per_chunk=25_000,
         log=False,
+        # bfloat16 score-net compute: the TPU-idiomatic analogue of the
+        # reference's AMP; validated to leave the Langevin equilibrium
+        # distribution unchanged (docs/PERF_NOTES.md).
+        bf16=True,
     )
 
     # Warmup: compile + one chunk.

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp_sim", type=float, default=None)
     p.add_argument("--kb", type=str, default="consistent", help="consistent, kcal")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 score-net compute in the Langevin loop "
+                        "(~1.4x; physics-validated, docs/PERF_NOTES.md)")
     p.add_argument("--fused", type=str, default="never",
                    help="fused Pallas force kernel: never | auto | always "
                         "(long one-time compile, persistently cached)")
@@ -170,6 +173,7 @@ def main(argv=None):
             kb=samp_args.kb,
             random_seed=samp_args.seed,
             fused=samp_args.fused,
+            bf16=samp_args.bf16,
         )
         sampled_mol = sampler.sample()
     else:

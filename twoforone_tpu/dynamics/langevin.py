@@ -31,11 +31,17 @@ def make_diffusion_force_fn(
     kbt_inv: float,
     fused: str = "never",
     fused_block: int = 128,
+    bf16: bool = False,
 ):
     """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
 
     ``x`` is in *normalized* units (divided by norm_factor). The potential
     returned is zeros (as in the reference, dynamics/langevin.py:92).
+
+    ``bf16`` runs the score net in bfloat16 (the TPU-idiomatic analogue of the
+    reference's AMP, trainer.py:141): ~1.3-1.5x faster; validated to leave the
+    Langevin equilibrium distribution unchanged on the exactly solvable
+    Gaussian system (docs/PERF_NOTES.md).
 
     ``fused`` selects the fused Pallas score kernel (ops/fused_score.py) that
     runs the entire force evaluation in one TPU kernel: "auto" uses it when
@@ -48,6 +54,9 @@ def make_diffusion_force_fn(
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
     t_norm = float(t) / diffusion.timesteps
     scale = 1.0 / (kbt_inv * sqrt_one_minus)
+    model = diffusion.model
+    if bf16:
+        model = model.clone(dtype=jnp.bfloat16)
 
     use_fused = False
     if fused == "always":
@@ -64,7 +73,7 @@ def make_diffusion_force_fn(
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
         kernel = make_fused_force_kernel(
-            diffusion.model, params, t_norm, block_chains=fused_block
+            model, params, t_norm, block_chains=fused_block
         )
 
         def force_fn(x):
@@ -77,7 +86,9 @@ def make_diffusion_force_fn(
 
         return force_fn
 
-    score_fn = diffusion.score_fn(params)
+    from twoforone_tpu.models.graph_transformer import make_score_fn
+
+    score_fn = make_score_fn(model, params)
 
     def force_fn(x):
         b = x.shape[0]
@@ -118,6 +129,7 @@ class LangevinDiffusion:
         log: bool = True,
         fused: str = "never",
         fused_block: int = 128,
+        bf16: bool = False,
     ):
         self.norm_factor = float(diffusion.norm_factor)
         init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
@@ -133,7 +145,7 @@ class LangevinDiffusion:
 
         force_fn = make_diffusion_force_fn(
             diffusion, params, t, kbt_inv=self.kb_inv / temp_data,
-            fused=fused, fused_block=fused_block,
+            fused=fused, fused_block=fused_block, bf16=bf16,
         )
 
         if friction is None:
