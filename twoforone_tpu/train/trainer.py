@@ -239,7 +239,22 @@ class Trainer:
         early_stopping_counter = 0
         step = int(self.state.step)
         t_start = time.time()
+        profiling = False
         while step < self.train_num_steps:
+            if getattr(cfg, "profile_steps", 0) > 0:
+                # Trace a window of steady-state steps (skip compile warmup).
+                if step == 10 and not profiling:
+                    import jax.profiler
+
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.tensorboard_folder, "profile")
+                    )
+                    profiling = True
+                elif profiling and step == 10 + cfg.profile_steps:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    profiling = False
             key, step_key = jax.random.split(key)
             batch = shard_batch(next(it), self.mesh)
             self.state, metrics = self._train_step(self.state, batch, step_key)

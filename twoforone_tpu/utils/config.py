@@ -83,6 +83,7 @@ class TrainConfig:
     bf16: bool = False  # bfloat16 score-net compute (AMP analogue, trainer.py:141)
     seed: int = 0
     ala2_train_cap: int = 500000  # reference hardcodes 500k (dataset_utils_empty.py:98)
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of that many steps
 
     def __post_init__(self):
         if "alanine_dipeptide" in self.mol.lower():
