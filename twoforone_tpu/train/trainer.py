@@ -244,15 +244,11 @@ class Trainer:
             if getattr(cfg, "profile_steps", 0) > 0:
                 # Trace a window of steady-state steps (skip compile warmup).
                 if step == 10 and not profiling:
-                    import jax.profiler
-
                     jax.profiler.start_trace(
                         os.path.join(cfg.tensorboard_folder, "profile")
                     )
                     profiling = True
                 elif profiling and step == 10 + cfg.profile_steps:
-                    import jax.profiler
-
                     jax.profiler.stop_trace()
                     profiling = False
             key, step_key = jax.random.split(key)
