@@ -163,3 +163,26 @@ def test_sample_from_model_driver():
     out = sample_from_model(fake_sample, 10, 4, key=jax.random.PRNGKey(0))
     assert out.shape == (10, 5, 3)
     assert calls == [4, 4, 4]  # remainder batch runs full size, truncated
+
+
+def test_trp_cage_golden_references():
+    """Second protein's golden refs load and score (chignolin covered above)."""
+    ev = TicEvaluator(mol_name="trp_cage", evalset="valset")
+    rng = np.random.default_rng(8)
+    fake = rng.normal(size=(300, 20, 3)).astype(np.float32) * 5
+    js, fig = ev.eval(fake, plot_tic=False)
+    assert 0 < js <= np.log(2) + 1e-9 and fig is None
+    pwd = PwdEvaluator(mol_name="trp_cage", offset=3, evalset="valset")
+    assert 0 < pwd.eval(fake) < np.log(2)
+
+
+def test_profiling_phase_timer():
+    from twoforone_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer(sync=False)
+    with t.phase("a"):
+        sum(range(1000))
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a:" in t.report()

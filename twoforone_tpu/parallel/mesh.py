@@ -49,20 +49,3 @@ def replicate(tree, mesh: Optional[Mesh] = None):
         return jax.device_put(tree)
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
-
-
-def data_parallel_jit(fn, mesh: Optional[Mesh], batch_argnum: int = 1,
-                      axis_name: str = "data", **jit_kwargs):
-    """jit ``fn`` with the given positional arg sharded over the data axis and
-    everything else replicated. With a 1-device mesh this is plain jit."""
-    if mesh is None or np.prod(mesh.devices.shape) == 1:
-        return jax.jit(fn, **jit_kwargs)
-    repl = NamedSharding(mesh, P())
-
-    def wrapper(*args, **kwargs):
-        args = list(args)
-        args[batch_argnum] = shard_batch(args[batch_argnum], mesh, axis_name)
-        return jitted(*args, **kwargs)
-
-    jitted = jax.jit(fn, out_shardings=None, **jit_kwargs)
-    return wrapper
