@@ -55,6 +55,11 @@ def main():
         # reference's AMP; validated to leave the Langevin equilibrium
         # distribution unchanged (docs/PERF_NOTES.md).
         bf16=True,
+        # The benchmark model is untrained, so its energy landscape is
+        # unbounded below; a harmonic tether + force clipping keep the
+        # trajectories finite (two fused elementwise ops, no measurable cost).
+        restraint_k=50.0,
+        max_force=1e3,
     )
 
     # Warmup: compile + one chunk.

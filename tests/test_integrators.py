@@ -184,3 +184,22 @@ def test_save_forces_and_potential():
     assert sim.simulated_forces.shape == traj.shape
     assert sim.simulated_potential.shape == (4, 5)
     assert np.all(np.isfinite(sim.simulated_forces))
+
+
+def test_restraint_and_force_clipping():
+    """Framework extensions: harmonic tether bounds a repulsive field; force
+    clipping caps spikes."""
+    def repulsive(x):
+        return jnp.zeros(x.shape[0]), 5.0 * x  # unbounded-below potential
+
+    x0 = _init(8)
+    sim = LangevinSimulation(
+        force_fn=repulsive, initial_coordinates=x0, dt=0.01, beta=1.0,
+        friction=None, length=2000, save_interval=100, random_seed=0,
+        restraint_k=10.0, max_force=50.0,
+    )
+    traj = sim.simulate()
+    assert np.all(np.isfinite(traj))
+    # net force -5x: equilibrium var = 1/(5 beta) * (N-1)/N per coord
+    var = traj[:, 10:].var()
+    assert var == pytest.approx(0.2 * 3 / 4, rel=0.2)

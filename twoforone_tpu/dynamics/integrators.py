@@ -89,6 +89,13 @@ class LangevinSimulation:
     log_type: str = "write"
     filename: Optional[str] = None
     steps_per_chunk: Optional[int] = None  # host-offload granularity
+    # Optional harmonic position restraint F += -k x (framework extension, no
+    # reference equivalent): bounds trajectories driven by unphysical force
+    # fields (untrained nets in benchmarks) and supports umbrella-style tethers.
+    restraint_k: float = 0.0
+    # Optional per-component force clipping (framework extension): a standard
+    # CG-MD stabilizer against rare spikes of learned force fields.
+    max_force: Optional[float] = None
 
     def __post_init__(self):
         ic = np.asarray(self.initial_coordinates, dtype=np.float32)
@@ -211,9 +218,16 @@ class LangevinSimulation:
         masses = self._masses
         dt = self.dt
 
+        restraint_k = self.restraint_k
+        max_force = self.max_force
+
         def one_step(x, v, key, beta):
             x = center_zero(x)
             potential, forces = force_fn(x)
+            if max_force is not None:
+                forces = jnp.clip(forces, -max_force, max_force)
+            if restraint_k:
+                forces = forces - restraint_k * x
             noise = jax.random.normal(key, x.shape, dtype=x.dtype)
             if langevin:
                 x_new, v_new = baoab_step(

@@ -130,6 +130,8 @@ class LangevinDiffusion:
         fused: str = "never",
         fused_block: int = 128,
         bf16: bool = False,
+        restraint_k: float = 0.0,
+        max_force: Optional[float] = None,
     ):
         self.norm_factor = float(diffusion.norm_factor)
         init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
@@ -180,6 +182,8 @@ class LangevinDiffusion:
             dt=dt,
             random_seed=random_seed,
             steps_per_chunk=steps_per_chunk,
+            restraint_k=restraint_k,
+            max_force=max_force,
         )
 
         if log:
