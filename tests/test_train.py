@@ -162,3 +162,137 @@ def test_trainer_loss_decreases(tmp_path):
         trainer.state, metrics = trainer._train_step(trainer.state, next(it), sk)
         losses.append(float(metrics["loss"]))
     assert np.mean(losses[-20:]) < np.mean(losses[:20]) * 0.9
+
+
+def _tiny_trainer(tmp_path, name, **overrides):
+    cfg = TrainConfig(
+        mol="alanine_dipeptide_fuberlin",
+        data_folder=None,
+        results_folder=str(tmp_path / f"results_{name}"),
+        experiment_name=name,
+        hidden_features_gnn=16,
+        num_layers_gnn=1,
+        conservative=False,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        diffusion_steps=1000,
+        batch_size=32,
+        learning_rate=1e-3,
+        train_iter=10,
+        eval_interval=1000,
+        iterations_on_val=1,
+        log_tensorboard_interval=1000,
+        data_aug=True,
+        **overrides,
+    )
+    dataset = _synthetic_ala2_dataset(256)
+    model = get_model(cfg, 5)
+    gd = GaussianDiffusion(
+        model=model, num_atoms=5, timesteps=1000,
+        norm_factor=dataset[0].std, loss_weights="ones",
+    )
+    return Trainer(gd, dataset, cfg.mol, cfg, use_tensorboard=False), dataset
+
+
+def test_gradient_accumulation_matches_manual_grads(tmp_path):
+    """accum=k: the step's parameter update equals one optimizer update with
+    the mean of the k per-micro-batch gradients (each micro-batch rotated
+    with its own subkey) — the reference's loss/accum summation semantics
+    (reference trainer.py:246-258)."""
+    import jax.numpy as jnp
+    import optax
+
+    from twoforone_tpu.ops.geometry import random_rotation
+
+    from twoforone_tpu.train.trainer import TrainState
+
+    trainer, dataset = _tiny_trainer(tmp_path, "accum")
+    gd = trainer.gd
+    data = dataset[0].data
+    k = 3
+    batch = np.stack([data[i * 32 : (i + 1) * 32] for i in range(k)])
+    step_key = jax.random.PRNGKey(7)
+
+    # Swap in SGD(lr=1) so params0 - params1 IS the applied gradient (AdamW's
+    # m/sqrt(v) normalization is invariant to gradient scaling, which would
+    # hide a wrong /k), and re-jit the step with the new optimizer.
+    trainer.optimizer = optax.sgd(1.0)
+    state0 = trainer.state
+    trainer.state = TrainState(
+        params=state0.params,
+        ema_params=state0.ema_params,
+        opt_state=trainer.optimizer.init(state0.params),
+        step=state0.step,
+        kl_max=jnp.float32(0.0),
+    )
+    trainer._train_step = jax.jit(trainer._train_step_impl)
+    params0 = jax.tree_util.tree_map(np.asarray, state0.params)
+
+    # Manual mean-of-micro-batch gradients with the same key schedule.
+    keys = jax.random.split(step_key, k)
+    grads_sum = None
+    loss_sum = 0.0
+    for i in range(k):
+        aug_key, loss_key = jax.random.split(keys[i])
+        mb = random_rotation(jnp.asarray(batch[i]), aug_key)
+        (loss, _), g = jax.value_and_grad(
+            lambda p: gd.loss(p, mb, loss_key), has_aux=True
+        )(state0.params)
+        loss_sum += float(loss)
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g
+        )
+    grads_manual = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) / k, grads_sum
+    )
+
+    new_state, metrics = trainer._train_step(trainer.state, jnp.asarray(batch), step_key)
+
+    applied = jax.tree_util.tree_map(
+        lambda a, b: a - np.asarray(b), params0, new_state.params
+    )
+    flat_a = jax.tree_util.tree_leaves(applied)
+    flat_b = jax.tree_util.tree_leaves(grads_manual)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    assert float(metrics["loss"]) == pytest.approx(loss_sum / k, rel=1e-4)
+    assert int(new_state.step) == 1  # ONE optimizer step for k micro-batches
+
+
+def test_gradient_accumulation_trains(tmp_path):
+    """Loss decreases through the accumulation path end to end."""
+    import jax.numpy as jnp
+
+    trainer, dataset = _tiny_trainer(tmp_path, "acctrain",
+                                     gradient_accumulate_every=2)
+    data = dataset[0].data
+    it = batch_iterator(data, trainer.batch_size, seed=1)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(80):
+        key, sk = jax.random.split(key)
+        micro = np.stack([next(it) for _ in range(2)])
+        trainer.state, metrics = trainer._train_step(trainer.state, jnp.asarray(micro), sk)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-15:]) < np.mean(losses[:15]) * 0.95
+
+
+def test_kl_running_max_carried_in_state(tmp_path):
+    """kl_max is monotone non-decreasing and >= every step's kl_at_T, so the
+    invariant check cannot be skipped by a large log interval (reference
+    asserts every step, models/ddpm.py:334)."""
+    trainer, dataset = _tiny_trainer(tmp_path, "klmax")
+    data = dataset[0].data
+    it = batch_iterator(data, trainer.batch_size, seed=2)
+    key = jax.random.PRNGKey(11)
+    prev_max = 0.0
+    for _ in range(5):
+        key, sk = jax.random.split(key)
+        trainer.state, metrics = trainer._train_step(trainer.state, next(it), sk)
+        kl, kl_max = float(metrics["kl_at_T"]), float(metrics["kl_max"])
+        assert kl_max >= kl
+        assert kl_max >= prev_max
+        prev_max = kl_max
+    assert float(trainer.state.kl_max) == pytest.approx(prev_max)
+    assert prev_max <= 1e-4  # the invariant itself holds on real schedules

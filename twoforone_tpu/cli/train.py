@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conservative", type=_bool, default=d.conservative)
     p.add_argument("--diffusion_steps", type=int, default=d.diffusion_steps)
     p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--gradient_accumulate_every", type=int,
+                   default=d.gradient_accumulate_every,
+                   help="micro-batches accumulated per optimizer step")
     p.add_argument("--learning_rate", type=float, default=d.learning_rate)
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
     p.add_argument("--train_iter", type=int, default=d.train_iter)

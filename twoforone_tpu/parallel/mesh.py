@@ -31,16 +31,20 @@ def get_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
-def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = "data"):
-    """Place a batch with its leading axis sharded over the mesh.
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = "data",
+                batch_axis: int = 0):
+    """Place a batch with its ``batch_axis`` sharded over the mesh (other
+    axes replicated — e.g. the leading micro-batch axis under gradient
+    accumulation stays whole on every device).
 
-    Pads nothing: the caller must make batch divisible by the mesh size
-    (the trainer rounds batch sizes accordingly).
+    Pads nothing: the caller must make the batch axis divisible by the mesh
+    size (the trainer rounds batch sizes accordingly).
     """
     if mesh is None or np.prod(mesh.devices.shape) == 1:
         return jax.device_put(batch)
-    spec = P(axis_name, *([None] * (batch.ndim - 1)))
-    return jax.device_put(batch, NamedSharding(mesh, spec))
+    spec_axes = [None] * batch.ndim
+    spec_axes[batch_axis] = axis_name
+    return jax.device_put(batch, NamedSharding(mesh, P(*spec_axes)))
 
 
 def replicate(tree, mesh: Optional[Mesh] = None):

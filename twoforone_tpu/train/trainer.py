@@ -51,6 +51,11 @@ class TrainState(NamedTuple):
     ema_params: dict
     opt_state: tuple
     step: jnp.ndarray  # int32 scalar
+    # Running max of KL(q(x_T|x_0) || N(0,I)) across ALL steps since the last
+    # host fetch — the reference asserts this invariant every step
+    # (models/ddpm.py:334); carrying the max on device means no step escapes
+    # the check even when the host only fetches at log_tensorboard_interval.
+    kl_max: jnp.ndarray = 0.0
 
 
 def batch_iterator(data: np.ndarray, batch_size: int, seed: int = 0):
@@ -83,6 +88,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else get_mesh()
         n_dev = int(np.prod(self.mesh.devices.shape))
         self.batch_size = config.batch_size - (config.batch_size % n_dev)
+        self.grad_accum = max(1, int(getattr(config, "gradient_accumulate_every", 1) or 1))
         self.train_num_steps = config.train_iter
         self.eval_interval = config.eval_interval
         self.log_interval = max(1, config.log_tensorboard_interval)
@@ -139,6 +145,7 @@ class Trainer:
             ema_params=replicate(init_ema(params), self.mesh),
             opt_state=replicate(self.optimizer.init(params), self.mesh),
             step=jnp.int32(0),
+            kl_max=jnp.float32(0.0),
         )
         self.best_val_loss = math.inf
 
@@ -155,21 +162,52 @@ class Trainer:
 
     # ------------------------------------------------------------- jit bodies
     def _train_step_impl(self, state: TrainState, batch, key):
-        aug_key, loss_key = jax.random.split(key)
-        if self.config.data_aug:
-            batch = random_rotation(batch, aug_key)
+        """One optimizer step. ``batch`` is either ``(B, N, 3)`` (no
+        accumulation) or ``(accum, B, N, 3)``: grads of ``loss/accum`` are
+        summed over the micro-batches before the single optimizer update,
+        each micro-batch independently SO(3)-augmented — exactly the
+        reference's accumulation semantics (trainer.py:246-258)."""
+        if batch.ndim == 3:
+            batch = batch[None]
+        accum = batch.shape[0]
 
-        def loss_fn(p):
-            return self.gd.loss(p, batch, loss_key)
+        def micro_grads(mb_key, mb):
+            aug_key, loss_key = jax.random.split(mb_key)
+            if self.config.data_aug:
+                mb = random_rotation(mb, aug_key)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn(p):
+                return self.gd.loss(p, mb, loss_key)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        keys = jax.random.split(key, accum)
+        if accum == 1:
+            (loss, aux), grads = micro_grads(keys[0], batch[0])
+            kl_step = aux["kl_at_T"]
+        else:
+            def body(carry, xs):
+                g_acc, loss_acc, kl_acc = carry
+                (loss, aux), grads = micro_grads(xs[0], xs[1])
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss,
+                        jnp.maximum(kl_acc, aux["kl_at_T"])), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, kl_step), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), (keys, batch)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(state.ema_params, params, state.step, self.ema_cfg)
-        new_state = TrainState(params, ema_params, opt_state, state.step + 1)
-        return new_state, {"loss": loss, "kl_at_T": aux["kl_at_T"]}
+        kl_max = jnp.maximum(jnp.asarray(state.kl_max, jnp.float32), kl_step)
+        new_state = TrainState(params, ema_params, opt_state, state.step + 1, kl_max)
+        return new_state, {"loss": loss, "kl_at_T": kl_step, "kl_max": kl_max}
 
     def _eval_loss_impl(self, ema_params, batch, key):
         loss, _ = self.gd.loss(ema_params, batch, key)
@@ -227,6 +265,7 @@ class Trainer:
             ema_params=replicate(state["ema_params"], self.mesh),
             opt_state=replicate(state["opt_state"], self.mesh),
             step=jnp.int32(state["step"]),
+            kl_max=jnp.float32(0.0),
         )
 
     def train(self):
@@ -252,13 +291,19 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
             key, step_key = jax.random.split(key)
-            batch = shard_batch(next(it), self.mesh)
+            if self.grad_accum == 1:
+                batch = shard_batch(next(it), self.mesh)
+            else:
+                micro = np.stack([next(it) for _ in range(self.grad_accum)])
+                batch = shard_batch(micro, self.mesh, batch_axis=1)
             self.state, metrics = self._train_step(self.state, batch, step_key)
             step = int(self.state.step)
 
             if step % self.log_interval == 0:
                 loss = float(metrics["loss"])
-                kl = float(metrics["kl_at_T"])
+                # Running max over ALL steps since start — raising the log
+                # interval cannot skip any step's KL-at-T invariant.
+                kl = float(metrics["kl_max"])
                 assert kl <= 1e-4, (
                     f"Normal KL check at T failed, max value: {kl}"
                 )

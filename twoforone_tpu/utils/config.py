@@ -57,6 +57,9 @@ class TrainConfig:
 
     # Optimization
     batch_size: int = 256
+    # Micro-batches accumulated per optimizer step (reference trainer.py:40,
+    # :246-258 — hardcoded to 1 in main_train.py:330; exposed as a flag here).
+    gradient_accumulate_every: int = 1
     learning_rate: float = 2e-4
     weight_decay: float = 1e-12
     train_iter: int = 2500000
