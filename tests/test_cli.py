@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train loops / physics pipelines (run with -m slow)
+
 
 @pytest.fixture(scope="module")
 def data_folder(tmp_path_factory):

@@ -29,6 +29,8 @@ from twoforone_tpu.dynamics.langevin import LangevinDiffusion
 from twoforone_tpu.models.graph_transformer import GraphTransformer
 from twoforone_tpu.train.ema import EMAConfig, ema_update, init_ema
 
+pytestmark = pytest.mark.slow  # full train loops / physics pipelines (run with -m slow)
+
 N_BEADS = 5
 T_NOISE = 100  # Langevin noise level
 

@@ -70,6 +70,7 @@ def _topo():
     return load_pdb(os.path.join(FOLDED_PDB_DIR, "ala2_cg.pdb")).topology
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_tiny(tmp_path):
     """Two eval cycles of real training on synthetic data: loss decreases,
     checkpoints + config + eval artifacts written, resume works."""
@@ -125,6 +126,7 @@ def test_trainer_end_to_end_tiny(tmp_path):
     assert trainer2.best_val_loss == trainer.best_val_loss
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases(tmp_path):
     cfg = TrainConfig(
         mol="alanine_dipeptide_fuberlin",
@@ -260,6 +262,7 @@ def test_gradient_accumulation_matches_manual_grads(tmp_path):
     assert int(new_state.step) == 1  # ONE optimizer step for k micro-batches
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_trains(tmp_path):
     """Loss decreases through the accumulation path end to end."""
     import jax.numpy as jnp
