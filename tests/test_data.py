@@ -107,3 +107,44 @@ def test_prepare_shuffle_parity():
     np.random.seed(2342361)
     np.random.shuffle(expected)
     np.testing.assert_array_equal(out, expected)
+
+
+def test_ala2_fold_boundaries_match_torch_chunk(tmp_path):
+    """Fold membership must be bit-identical to the reference's torch.chunk
+    (dataset_utils_empty.py:93): all chunks ceil(n/4) except a short last,
+    NOT np.array_split's pad-the-first-chunks layout. n=4002 makes them
+    differ."""
+    import torch
+
+    n = 4002
+    coords = np.random.default_rng(3).normal(size=(n, 5, 3)).astype(np.float32)
+    np.savez(tmp_path / "ala2_cg_2fs_Hmass_2_HBonds.npz", coords=coords)
+    ref_chunks = [c.numpy() for c in torch.arange(n).chunk(4)]
+    for fold in (1, 2, 3, 4):
+        _, _, test = get_dataset(
+            "alanine_dipeptide_fuberlin", mean0=True,
+            data_folder=str(tmp_path), fold=fold,
+        )
+        expected_idx = ref_chunks[fold - 1]
+        assert len(test) == len(expected_idx)
+        expected = coords[expected_idx] - coords[expected_idx].mean(axis=1, keepdims=True)
+        np.testing.assert_allclose(test.data, expected, atol=1e-5)
+
+
+def test_ala2_trainval_split_seeded_and_legacy(tmp_path):
+    """Default split is deterministic across processes (seeded permutation —
+    a deliberate divergence from the reference's unseeded torch.randperm,
+    dataset_utils_empty.py:96); split_seed=None restores legacy behavior."""
+    coords = np.random.default_rng(4).normal(size=(400, 5, 3)).astype(np.float32)
+    np.savez(tmp_path / "ala2_cg_2fs_Hmass_2_HBonds.npz", coords=coords)
+    kw = dict(mean0=True, data_folder=str(tmp_path), fold=1, ala2_train_cap=200)
+    t1, v1, _ = get_dataset("alanine_dipeptide_fuberlin", **kw)
+    t2, v2, _ = get_dataset("alanine_dipeptide_fuberlin", **kw)
+    np.testing.assert_array_equal(t1.data, t2.data)
+    np.testing.assert_array_equal(v1.data, v2.data)
+    # train/val partition the 300 non-test frames with no overlap
+    assert len(t1) == 200 and len(v1) == 100
+    # legacy mode shuffles from ambient RNG state (still a valid partition)
+    np.random.seed(99)
+    t3, v3, _ = get_dataset("alanine_dipeptide_fuberlin", split_seed=None, **kw)
+    assert len(t3) == 200 and len(v3) == 100

@@ -146,6 +146,7 @@ def get_dataset(
     shuffle_before_splitting: bool = False,
     pdb_folder: Optional[str] = None,
     ala2_train_cap: int = 500000,
+    split_seed: Optional[int] = SHUFFLE_SEED,
 ):
     """Build (trainset, valset, testset) for a molecule.
 
@@ -171,11 +172,25 @@ def get_dataset(
 
         # 4-fold chunking: test = fold's chunk; trainval = rest, shuffled;
         # train capped at 500k (reference dataset_utils_empty.py:88-113).
+        # Chunk boundaries reproduce torch.chunk: every chunk ceil(n/4)
+        # except a short last one (np.array_split pads the FIRST chunks
+        # instead, so fold membership would diverge whenever n % 4 != 0).
         n = len(dataset)
-        chunks = np.array_split(np.arange(n), 4)
+        chunk_size = -(-n // 4)
+        chunks = [np.arange(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
+        while len(chunks) < 4:  # degenerate tiny datasets
+            chunks.append(np.array([], dtype=np.int64))
         testrange = chunks[fold - 1]
         trainval = np.concatenate(chunks[: fold - 1] + chunks[fold:])
-        trainval = trainval[np.random.permutation(len(trainval))]
+        # The reference shuffles with UNSEEDED torch.randperm
+        # (dataset_utils_empty.py:96), so its split differs per process; a
+        # reproducible framework seeds it. split_seed=None restores the
+        # legacy nondeterministic behavior.
+        if split_seed is not None:
+            perm = np.random.default_rng(split_seed).permutation(len(trainval))
+        else:
+            perm = np.random.permutation(len(trainval))
+        trainval = trainval[perm]
         trainrange = trainval[:ala2_train_cap]
         valrange = trainval[ala2_train_cap:]
         if traindata_subset is not None:
