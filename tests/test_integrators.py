@@ -203,3 +203,28 @@ def test_restraint_and_force_clipping():
     # net force -5x: equilibrium var = 1/(5 beta) * (N-1)/N per coord
     var = traj[:, 10:].var()
     assert var == pytest.approx(0.2 * 3 / 4, rel=0.2)
+
+
+def test_tempering_ramp_temperature_profile():
+    """The ramp actually changes the sampled temperature: with a HOT
+    reference_beta and a COLD simulation beta, the hold-at-sim-beta quarter
+    has the cold equilibrium variance and the final hold-at-reference
+    quarter the hot one (profile: ramp ref->sim over q, hold sim, ramp back,
+    hold ref — reference langevin_cgnet.py:724-735)."""
+    k, beta_sim, beta_ref, n_beads = 2.0, 4.0, 0.5, 4
+    sim = LangevinSimulation(
+        force_fn=harmonic_force(k),
+        initial_coordinates=_init(512, n_beads),
+        dt=0.01,
+        beta=beta_sim,
+        friction=None,
+        length=8000,
+        save_interval=40,
+        random_seed=7,
+    )
+    traj = sim.simulate(reference_beta=beta_ref)  # (512, 200, 4, 3)
+    geom = (n_beads - 1) / n_beads
+    cold = traj[:, 60:100].var()   # second quarter: hold at beta_sim
+    hot = traj[:, 170:].var()      # last quarter: hold at beta_ref
+    assert cold == pytest.approx(1.0 / (k * beta_sim) * geom, rel=0.12)
+    assert hot == pytest.approx(1.0 / (k * beta_ref) * geom, rel=0.12)

@@ -109,3 +109,26 @@ def test_driver_end_to_end_and_rescale():
     )
     traj2 = ld2.sample()
     assert traj2.shape == (8, 5, 3)
+
+
+def test_sample_reference_temp_plumbing():
+    """LangevinDiffusion.sample(reference_temp=...) reaches the integrator's
+    tempering ramp: reference_beta = kb_inv / reference_temp, and the hot
+    start measurably widens the early trajectory vs the untempered run."""
+    gd, params = _gd(norm_factor=1.0)
+    rng = np.random.default_rng(0)
+    init = (rng.normal(size=(8, 5, 3)) * 0.1).astype(np.float32)
+    init -= init.mean(axis=1, keepdims=True)
+    kwargs = dict(
+        n_timesteps=40, save_interval=10, t=8,
+        temp_data=300, temp_sim=300, dt=1e-4, masses=[12.8] * 5,
+        friction=1.0, kb="consistent", random_seed=3, log=False,
+        restraint_k=10.0,
+    )
+    ld = LangevinDiffusion(gd, params, init, **kwargs)
+    traj = ld.sample(reference_temp=3000.0)
+    assert traj.shape == (8 * 4, 5, 3)
+    assert np.all(np.isfinite(traj))
+    ld2 = LangevinDiffusion(gd, params, init, **kwargs)
+    traj2 = ld2.sample()
+    assert not np.allclose(traj, traj2)  # the ramp changed the dynamics

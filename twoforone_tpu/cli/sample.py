@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ps; if None computed from the diffusion model parameters")
     p.add_argument("--temp_data", type=float, default=None)
     p.add_argument("--temp_sim", type=float, default=None)
+    p.add_argument("--tempering", action="store_true",
+                   help="enable the tempering ramp (langevin mode): kbT starts "
+                        "at --reference_temp, anneals to temp_sim, holds, and "
+                        "ramps back (reference langevin_cgnet.py:724-735)")
+    p.add_argument("--reference_temp", type=float, default=None,
+                   help="tempering start/end temperature in K "
+                        "(default: the per-protein temp_dict_pt table)")
     p.add_argument("--kb", type=str, default="consistent", help="consistent, kcal")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
@@ -109,7 +116,7 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    from twoforone_tpu.data.molecules import temp_dict
+    from twoforone_tpu.data.molecules import temp_dict, temp_dict_pt
     from twoforone_tpu.data.pdb import save_pdb
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion
     from twoforone_tpu.evaluate.evaluators import sample_from_model
@@ -175,7 +182,15 @@ def main(argv=None):
             fused=samp_args.fused,
             bf16=samp_args.bf16,
         )
-        sampled_mol = sampler.sample()
+        reference_temp = None
+        if samp_args.tempering:
+            reference_temp = (
+                samp_args.reference_temp
+                if samp_args.reference_temp is not None
+                else temp_dict_pt[cfg.mol.upper()]
+            )
+            print(f"Tempering ramp enabled: reference_temp={reference_temp} K")
+        sampled_mol = sampler.sample(reference_temp=reference_temp)
     else:
         raise ValueError("Wrong argument 'gen_mode'")
 

@@ -203,9 +203,23 @@ class LangevinDiffusion:
             print(f"dt: {dt: .8f} (ps)")
             print(f"KbT: {temp_data / self.kb_inv: .4f}")
 
-    def sample(self) -> np.ndarray:
+    def sample(self, reference_temp: Optional[float] = None) -> np.ndarray:
         """Run the simulation; return (n_frames_total, n_beads, 3) in Angstrom
-        (all chains concatenated, reference dynamics/langevin.py:205-212)."""
-        traj = self.sim.simulate()  # (n_sims, n_saves, beads, 3)
+        (all chains concatenated, reference dynamics/langevin.py:205-212).
+
+        ``reference_temp`` (K) enables the integrator's tempering ramp
+        (reference langevin_cgnet.py:724-735, reachable there only via a
+        direct ``simulate(reference_beta=...)`` call — trainer.py:346 fetches
+        ``temp_dict_pt`` and never uses it). kbT profile over the run: start
+        at reference_temp, linear ramp to temp_sim over the first quarter,
+        hold a quarter, ramp back over a quarter, hold at reference_temp.
+        With the tempering table (``temp_dict_pt``, 450-500 K) as
+        reference_temp the run starts hot to cross barriers and anneals to
+        temp_sim.
+        """
+        reference_beta = (
+            None if reference_temp is None else self.kb_inv / float(reference_temp)
+        )
+        traj = self.sim.simulate(reference_beta=reference_beta)  # (n_sims, n_saves, beads, 3)
         traj = traj.reshape(-1, traj.shape[2], traj.shape[3])
         return traj * self.norm_factor
