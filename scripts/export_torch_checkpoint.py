@@ -17,6 +17,8 @@ import pickle
 import sys
 from types import SimpleNamespace
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -30,12 +32,15 @@ def main():
     import torch
 
     from twoforone_tpu.cli.sample import load_model
-    from twoforone_tpu.utils.convert import params_to_torch_state_dict
+    from twoforone_tpu.utils.convert import build_ema_pytorch_state_dict
 
     gd, ema_params, trainset, cfg = load_model(args.model_path, args.checkpoint)
-    state = params_to_torch_state_dict(ema_params, gd.model.n_layers)
+    # Full ema-pytorch 0.0.8 EMA(GaussianDiffusion) state dict: the upstream
+    # sample.py:154-167 load is strict, so every key (online_model.*,
+    # ema_model.*, DDPM buffers, initted, step) must be present.
     ema_state = {
-        f"ema_model.model.{k}": torch.from_numpy(v.copy()) for k, v in state.items()
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in build_ema_pytorch_state_dict(gd, ema_params).items()
     }
 
     out = args.out or os.path.join(args.model_path, "export")

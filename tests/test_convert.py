@@ -188,3 +188,54 @@ def test_roundtrip_params_to_torch_and_back():
     assert set(back.keys()) == set(state.keys())
     for k in state:
         np.testing.assert_array_equal(back[k], state[k].numpy())
+
+
+def test_full_ema_pytorch_export_state_dict():
+    """The exported checkpoint must hold the COMPLETE ema-pytorch 0.0.8
+    EMA(GaussianDiffusion) state dict (upstream sample.py:154-167 loads it
+    with strict load_state_dict): online_model.* + ema_model.* (net weights
+    AND all 13 DDPM buffers from models/ddpm.py:67-138) + initted + step."""
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.utils.convert import (
+        _strip_prefix,
+        build_ema_pytorch_state_dict,
+    )
+
+    state = make_torch_state(seed=5)
+    params = torch_state_dict_to_params(state, LAYERS)
+    model = _flax_model(conservative=True)
+    gd = GaussianDiffusion(
+        model=model, num_atoms=N_BEADS, timesteps=50, norm_factor=2.0,
+        loss_weights="higheruntil_10",
+    )
+
+    full = build_ema_pytorch_state_dict(gd, params, step=123)
+
+    buffer_names = [
+        "betas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+        "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+        "posterior_log_variance_clipped", "posterior_mean_coef1",
+        "posterior_mean_coef2", "p2_loss_weight",
+    ]
+    expected = {"initted", "step"}
+    for prefix in ("online_model", "ema_model"):
+        expected |= {f"{prefix}.model.{k}" for k in state}
+        expected |= {f"{prefix}.{b}" for b in buffer_names}
+    assert set(full.keys()) == expected
+
+    # Scalar bookkeeping buffers have ema-pytorch's shapes.
+    assert full["initted"].shape == (1,)
+    assert full["step"].shape == (1,) and int(full["step"][0]) == 123
+    # Buffers are the T-length schedule arrays.
+    for b in buffer_names:
+        assert full[f"ema_model.{b}"].shape == (50,)
+
+    # Round trip: our own reference-checkpoint loader must recover the exact
+    # EMA weights from the exported layout.
+    recovered = torch_state_dict_to_params(_strip_prefix(full), LAYERS)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, recovered,
+    )

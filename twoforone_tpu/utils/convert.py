@@ -126,6 +126,73 @@ def params_to_torch_state_dict(params: dict, n_layers: int) -> Dict[str, np.ndar
     return out
 
 
+# The registered DDPM buffers, in reference order (models/ddpm.py:67-138).
+# The reference's torch name for the timestep-sampling weights is
+# "p2_loss_weight"; this framework calls the same array "loss_weights".
+_DDPM_BUFFER_NAMES = (
+    ("betas", "betas"),
+    ("alphas_cumprod", "alphas_cumprod"),
+    ("alphas_cumprod_prev", "alphas_cumprod_prev"),
+    ("sqrt_alphas_cumprod", "sqrt_alphas_cumprod"),
+    ("sqrt_one_minus_alphas_cumprod", "sqrt_one_minus_alphas_cumprod"),
+    ("log_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod"),
+    ("sqrt_recip_alphas_cumprod", "sqrt_recip_alphas_cumprod"),
+    ("sqrt_recipm1_alphas_cumprod", "sqrt_recipm1_alphas_cumprod"),
+    ("posterior_variance", "posterior_variance"),
+    ("posterior_log_variance_clipped", "posterior_log_variance_clipped"),
+    ("posterior_mean_coef1", "posterior_mean_coef1"),
+    ("posterior_mean_coef2", "posterior_mean_coef2"),
+    ("p2_loss_weight", "loss_weights"),
+)
+
+
+def build_ema_pytorch_state_dict(
+    diffusion, ema_params: dict, online_params: dict = None, step: int = 0
+) -> Dict[str, np.ndarray]:
+    """Full ``EMA(GaussianDiffusion)`` state dict in ema-pytorch 0.0.8 layout.
+
+    The reference's ``sample.py:154-167`` builds ``EMA(GaussianDiffusion)``
+    (pinned ema-pytorch==0.0.8, coarse-graining-environment.yml:22) and calls
+    a *strict* ``load_state_dict`` on ``data_dict["ema"]``; that module's
+    state dict contains, beyond the EMA weights, the online model, every DDPM
+    registered buffer under both prefixes, and the ``initted`` / ``step``
+    bookkeeping buffers (``EMA.__init__`` assigns ``self.online_model`` /
+    ``self.ema_model`` as submodules and registers the two scalars). A file
+    holding only ``ema_model.model.*`` fails that load — this builds the
+    complete key set:
+
+    - ``initted`` (shape (1,)), ``step`` (shape (1,))
+    - ``{online_model,ema_model}.model.<net key>`` for every score-net tensor
+    - ``{online_model,ema_model}.<buffer>`` for the 13 DDPM buffers
+      (reference models/ddpm.py:67-138; "p2_loss_weight" is this framework's
+      ``buffers.loss_weights``)
+
+    ``online_params`` defaults to the EMA weights (the reference sampler only
+    ever reads ``ema_model.*``).
+    """
+    n_layers = diffusion.model.n_layers
+    nets = {
+        "online_model": params_to_torch_state_dict(
+            ema_params if online_params is None else online_params, n_layers
+        ),
+        "ema_model": params_to_torch_state_dict(ema_params, n_layers),
+    }
+    buffers = {
+        torch_name: np.asarray(getattr(diffusion.buffers, ours), np.float32)
+        for torch_name, ours in _DDPM_BUFFER_NAMES
+    }
+    out: Dict[str, np.ndarray] = {
+        "initted": np.asarray([True]),
+        "step": np.asarray([int(step)], dtype=np.int64),
+    }
+    for prefix, net in nets.items():
+        for k, v in net.items():
+            out[f"{prefix}.model.{k}"] = v
+        for k, v in buffers.items():
+            out[f"{prefix}.{k}"] = v
+    return out
+
+
 def load_torch_checkpoint_as_params(path: str, model) -> dict:
     """Load a reference model-*.pt and return the EMA weights as flax params."""
     import torch
