@@ -2,15 +2,20 @@
 
 The driver-defined north-star metric (BASELINE.json): BAOA(F)B Langevin
 dynamics driven by the chignolin-config diffusion force field (nf=64,
-3 layers, conservative forces via jax.grad, noise_level t=20) with
-parallel_sim=100 chains — the configuration of the paper's production runs
-(reference evaluate/sampling_commands.md:8-20).
+3 layers, conservative forces via jax.grad, noise_level t=20). The FORMAL
+target configuration is parallel_sim=1000 (BASELINE.json: ">=50x
+CPU-reference Langevin steps/sec on chignolin at parallel_sim=1000"); the
+paper's production runs use parallel_sim=100 (reference
+evaluate/sampling_commands.md:8-20) — both are measured, plus the i.i.d.
+reverse-chain sampling rate.
 
-``vs_baseline`` is measured against the torch-CPU reference-equivalent
-implementation (scripts/bench_baseline_torch.py -> BASELINE_MEASURED.json);
-the reference repo itself publishes no numbers.
+``vs_baseline`` numbers are measured against the torch-CPU
+reference-equivalent implementation on the SAME host
+(scripts/bench_baseline_torch.py -> BASELINE_MEASURED.json); the reference
+repo itself publishes no numbers.
 
-Prints ONE JSON line.
+Prints ONE JSON line: the formal parallel_sim=1000 metric as the primary
+record, with the parallel_sim=100 and iid metrics under "extra".
 """
 
 import json
@@ -20,25 +25,24 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _baselines():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
-    from twoforone_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
-
+def _make_sim(gd, params, parallel_sim, steps_per_chunk):
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion
-    from __graft_entry__ import _flagship
 
-    model, gd = _flagship()  # chignolin shipped config
-    params = gd.init_params(jax.random.PRNGKey(0))
-
-    parallel_sim = 100
     rng = np.random.default_rng(0)
     init = rng.normal(size=(parallel_sim, 10, 3)).astype(np.float32)
     init = (init - init.mean(axis=1, keepdims=True)) * gd.norm_factor
 
-    sim = LangevinDiffusion(
+    return LangevinDiffusion(
         gd, params, init,
         n_timesteps=10_000_000,
         save_interval=500,
@@ -49,7 +53,7 @@ def main():
         friction=1.0,
         kb="consistent",
         random_seed=0,
-        steps_per_chunk=25_000,
+        steps_per_chunk=steps_per_chunk,
         log=False,
         # bfloat16 score-net compute: the TPU-idiomatic analogue of the
         # reference's AMP; validated to leave the Langevin equilibrium
@@ -62,30 +66,74 @@ def main():
         max_force=1e3,
     )
 
-    # Warmup: compile + one chunk.
-    sim.sim.simulate(sub_interval=25_000)
 
-    timed_steps = 100_000
+def bench_langevin(gd, params, parallel_sim, warmup_steps, timed_steps):
+    sim = _make_sim(gd, params, parallel_sim, steps_per_chunk=warmup_steps)
+    sim.sim.simulate(sub_interval=warmup_steps)  # compile + warm
     t0 = time.perf_counter()
     sim.sim.simulate(sub_interval=timed_steps)
     elapsed = time.perf_counter() - t0
-    steps_per_sec = timed_steps / elapsed
+    return timed_steps / elapsed
 
-    vs_baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-        ref = baseline.get("langevin_steps_per_sec_cpu_torch")
-        if ref:
-            vs_baseline = steps_per_sec / ref
+
+def bench_iid(gd, params, batch=4096):
+    """Full T=1000 reverse chain at the throughput-optimal batch."""
+    import jax
+
+    sample_fn = gd.make_sample_fn(batch)
+    out = sample_fn(params, jax.random.PRNGKey(0))  # compile + run
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = sample_fn(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return batch / elapsed
+
+
+def main():
+    import jax
+
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from __graft_entry__ import _flagship
+
+    model, gd = _flagship()  # chignolin shipped config
+    params = gd.init_params(jax.random.PRNGKey(0))
+    base = _baselines()
+
+    def ratio(value, key):
+        ref = base.get(key)
+        return None if not ref else round(value / ref, 2)
+
+    sps_100 = bench_langevin(
+        gd, params, parallel_sim=100, warmup_steps=25_000, timed_steps=100_000
+    )
+    sps_1000 = bench_langevin(
+        gd, params, parallel_sim=1000, warmup_steps=5_000, timed_steps=20_000
+    )
+    iid_sps = bench_iid(gd, params)
 
     print(json.dumps({
-        "metric": "langevin_steps_per_sec_chip_chignolin_parallel100",
-        "value": round(steps_per_sec, 2),
+        "metric": "langevin_steps_per_sec_chip_chignolin_parallel1000",
+        "value": round(sps_1000, 2),
         "unit": "steps/s",
-        "vs_baseline": None if vs_baseline is None else round(vs_baseline, 2),
+        "vs_baseline": ratio(
+            sps_1000, "langevin_steps_per_sec_cpu_torch_parallel1000"
+        ),
+        "extra": {
+            "langevin_steps_per_sec_chip_chignolin_parallel100": {
+                "value": round(sps_100, 2),
+                "unit": "steps/s",
+                "vs_baseline": ratio(sps_100, "langevin_steps_per_sec_cpu_torch"),
+            },
+            "iid_samples_per_sec_chignolin": {
+                "value": round(iid_sps, 2),
+                "unit": "samples/s",
+                "vs_baseline": ratio(iid_sps, "iid_samples_per_sec_cpu_torch"),
+            },
+        },
     }))
 
 

@@ -24,6 +24,15 @@ N_BEADS, HIDDEN, LAYERS, HEADS, DIM_HEAD = 10, 64, 3, 8, 64
 INNER = HEADS * DIM_HEAD
 PARALLEL_SIM = 100
 WARMUP, TIMED = 3, 15
+# The formal target configuration (BASELINE.json: ">=50x CPU-reference
+# Langevin steps/sec on chignolin at parallel_sim=1000").
+PARALLEL_SIM_FORMAL = 1000
+WARMUP_FORMAL, TIMED_FORMAL = 1, 5
+# i.i.d. sampling baseline: reference chignolin sampling batch
+# (evaluate/sampling_commands.md uses batch_size 256), full T=1000 reverse
+# chain = one net forward per step; samples/s extrapolates from per-step time.
+IID_BATCH, IID_TIMESTEPS = 256, 1000
+IID_WARMUP, IID_TIMED = 2, 6
 
 
 class Attention(torch.nn.Module):
@@ -104,15 +113,13 @@ class ScoreNet(torch.nn.Module):
         return forces
 
 
-def main():
-    torch.manual_seed(0)
-    net = ScoreNet().eval()
-    x = torch.randn(PARALLEL_SIM, N_BEADS, 3)
+def measure_langevin(net, parallel_sim, warmup, timed):
+    x = torch.randn(parallel_sim, N_BEADS, 3)
     v = torch.zeros_like(x)
     dt, friction, mass, kbt = 2e-3, 1.0, 12.0, 0.1
     vscale = math.exp(-dt * friction)
     noisescale = math.sqrt(1 - vscale * vscale)
-    t_norm = torch.full((PARALLEL_SIM,), 0.02)
+    t_norm = torch.full((parallel_sim,), 0.02)
 
     def step(x, v):
         x = x - x.mean(dim=1, keepdim=True)
@@ -123,18 +130,53 @@ def main():
         x = x + v * dt / 2
         return x.detach(), v.detach()
 
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         x, v = step(x, v)
     t0 = time.perf_counter()
-    for _ in range(TIMED):
+    for _ in range(timed):
         x, v = step(x, v)
     elapsed = time.perf_counter() - t0
-    steps_per_sec = TIMED / elapsed
+    return timed / elapsed
+
+
+def measure_iid(net):
+    """Reverse-chain sampling rate: one score-net call per timestep
+    (reference models/ddpm.py p_sample loop) + O(B*N) coefficient math that
+    is negligible next to the net forward; samples/s = B / (T * per_step)."""
+    x = torch.randn(IID_BATCH, N_BEADS, 3)
+
+    def rev_step(x, t_val):
+        t_norm = torch.full((IID_BATCH,), t_val)
+        eps = net(x, t_norm)
+        return (x - 0.01 * eps).detach()
+
+    for i in range(IID_WARMUP):
+        x = rev_step(x, 0.999)
+    t0 = time.perf_counter()
+    for i in range(IID_TIMED):
+        x = rev_step(x, 1.0 - i / IID_TIMESTEPS)
+    per_step = (time.perf_counter() - t0) / IID_TIMED
+    return IID_BATCH / (IID_TIMESTEPS * per_step)
+
+
+def main():
+    torch.manual_seed(0)
+    net = ScoreNet().eval()
+
+    steps_per_sec = measure_langevin(net, PARALLEL_SIM, WARMUP, TIMED)
+    steps_per_sec_formal = measure_langevin(
+        net, PARALLEL_SIM_FORMAL, WARMUP_FORMAL, TIMED_FORMAL
+    )
+    iid_samples_per_sec = measure_iid(net)
 
     out = {
         "langevin_steps_per_sec_cpu_torch": steps_per_sec,
+        "langevin_steps_per_sec_cpu_torch_parallel1000": steps_per_sec_formal,
+        "iid_samples_per_sec_cpu_torch": iid_samples_per_sec,
         "config": {
             "mol": "chignolin", "parallel_sim": PARALLEL_SIM,
+            "parallel_sim_formal": PARALLEL_SIM_FORMAL,
+            "iid_batch": IID_BATCH, "iid_timesteps": IID_TIMESTEPS,
             "hidden_nf": HIDDEN, "n_layers": LAYERS, "conservative": True,
             "device": "cpu", "torch": torch.__version__,
         },
