@@ -148,3 +148,55 @@ def test_ala2_trainval_split_seeded_and_legacy(tmp_path):
     np.random.seed(99)
     t3, v3, _ = get_dataset("alanine_dipeptide_fuberlin", split_seed=None, **kw)
     assert len(t3) == 200 and len(v3) == 100
+
+
+def test_mdtrajectory_dataset_graph_mode():
+    """MDTrajectoryDataset parity with the reference's MDTrajectory
+    (dataset_utils_empty.py:264-381): align, transform, extra features, and
+    graph items (pos / atom_labels / edge_index) without torch_geometric."""
+    from twoforone_tpu.data.trajectory import GraphFrame, MDTrajectoryDataset
+    from twoforone_tpu.ops.geometry import kabsch_rmsd
+
+    pdb = load_pdb(os.path.join(FOLDED_PDB_DIR, "CLN025-0-c-alpha.pdb"))
+    n = pdb.topology.n_atoms
+    rng = np.random.default_rng(0)
+    base = pdb.xyz.astype(np.float32)
+    # frames: rotated + jittered copies of the folded structure
+    frames = []
+    for _ in range(6):
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        w, x, y, z = q
+        rot = np.array([
+            [1 - 2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+            [2*(x*y+w*z), 1 - 2*(x*x+z*z), 2*(y*z-w*x)],
+            [2*(x*z-w*y), 2*(y*z+w*x), 1 - 2*(x*x+y*y)],
+        ])
+        frames.append(base @ rot.T + rng.normal(scale=0.01, size=(n, 3)))
+    xyz = np.stack(frames).astype(np.float32)
+
+    # plain mode + transform + extra features
+    feats = np.arange(6)
+    ds = MDTrajectoryDataset(
+        xyz, pdb.topology, extra_features=feats, transform=lambda c: c * 2.0
+    )
+    item, f = ds[3]
+    assert f == 3 and item.shape == (n, 3)
+    np.testing.assert_allclose(item, xyz[3] * 2.0)
+
+    # align mode: every frame superposes onto frame 0 (RMSD ~ jitter scale)
+    ds_al = MDTrajectoryDataset(xyz, pdb.topology, align=True)
+    rms = np.asarray(kabsch_rmsd(ds_al.xyz, ds_al.xyz[0]))
+    direct = np.linalg.norm(
+        ds_al.xyz - ds_al.xyz[0][None], axis=-1
+    ).mean(-1)
+    np.testing.assert_allclose(direct[1:], rms[1:], atol=0.02)
+
+    # graph mode: chain backbone bonds, atomic labels (z - 1)
+    g = MDTrajectoryDataset(xyz, pdb.topology, return_bond_graph=True)[0]
+    assert isinstance(g, GraphFrame)
+    assert g.pos.shape == (n, 3)
+    assert g.edge_index.shape == (2, n - 1)
+    np.testing.assert_array_equal(g.edge_index[0], np.arange(n - 1))
+    np.testing.assert_array_equal(g.edge_index[1], np.arange(1, n))
+    assert g.atom_labels.shape == (n,)
+    assert np.all(g.atom_labels >= 0)

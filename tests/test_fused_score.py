@@ -37,8 +37,20 @@ def test_erf_approximation():
     np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
 
 
-@pytest.mark.parametrize("packed", [True, False])
-@pytest.mark.parametrize("intrinsic,distances", [(True, False), (True, True), (False, True)])
+# Fast lane keeps the production configuration (intrinsic edges, packed —
+# the chignolin shipped config); the remaining interpret-mode combinations
+# are compile-heavy on CPU and run in the slow lane.
+@pytest.mark.parametrize(
+    "packed", [True, pytest.param(False, marks=pytest.mark.slow)]
+)
+@pytest.mark.parametrize(
+    "intrinsic,distances",
+    [
+        (True, False),
+        pytest.param(True, True, marks=pytest.mark.slow),
+        pytest.param(False, True, marks=pytest.mark.slow),
+    ],
+)
 def test_fused_kernel_matches_xla(intrinsic, distances, packed):
     model, params = _setup(intrinsic=intrinsic, distances=distances)
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 10, 3)) * 2.0

@@ -37,7 +37,12 @@ def _init(model, key=0):
 
 @pytest.mark.parametrize(
     "intrinsic,distances",
-    [(True, False), (False, True), (True, True), (False, False)],
+    [
+        (True, False),  # production (all shipped configs use intrinsic-only)
+        pytest.param(False, True, marks=pytest.mark.slow),
+        pytest.param(True, True, marks=pytest.mark.slow),
+        pytest.param(False, False, marks=pytest.mark.slow),
+    ],
 )
 def test_geometric_edges_match_general_path(intrinsic, distances):
     """The production geometric-edge factorization must be an exact algebraic

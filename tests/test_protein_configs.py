@@ -15,14 +15,17 @@ from twoforone_tpu.data.datasets import get_dataset
 from twoforone_tpu.data.molecules import Molecules, norm_stds
 from twoforone_tpu.models.graph_transformer import GraphTransformer
 
-# (mol, beads, hidden_nf, n_layers)
+# (mol, beads, hidden_nf, n_layers). Fast lane covers the two molecules the
+# benches/physics tests exercise; the four larger fast-folders are the same
+# code path at bigger shapes (slow lane).
+_slow = pytest.mark.slow
 SHIPPED = [
     ("alanine_dipeptide_fuberlin", 5, 96, 2),
     ("chignolin", 10, 64, 3),
-    ("trp_cage", 20, 128, 3),
-    ("bba", 28, 96, 3),
-    ("villin", 35, 128, 3),
-    ("protein_g", 56, 128, 3),
+    pytest.param("trp_cage", 20, 128, 3, marks=_slow),
+    pytest.param("bba", 28, 96, 3, marks=_slow),
+    pytest.param("villin", 35, 128, 3, marks=_slow),
+    pytest.param("protein_g", 56, 128, 3, marks=_slow),
 ]
 
 

@@ -95,7 +95,8 @@ def test_sharded_langevin_chains(mesh):
     assert np.all(np.isfinite(traj))
 
 
-def test_driver_dryrun():
+@pytest.mark.slow  # subprocess re-exec + full compile; the driver runs this
+def test_driver_dryrun():  # gate itself every round (MULTICHIP_r{N}.json)
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

@@ -135,6 +135,24 @@ def unsorted_segment_sum(data, segment_ids, num_segments, normalization_factor,
     raise ValueError(f"unknown aggregation {aggregation_method}")
 
 
+def superpose(xyz: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Optimally superpose each frame onto ``ref`` (Kabsch), like
+    ``mdtraj.Trajectory.superpose`` (reference dataset_utils_empty.py:320-321).
+
+    ``xyz``: (B, N, 3); ``ref``: (N, 3) -> (B, N, 3) aligned frames, centered
+    at the reference's centroid.
+    """
+    x = center_zero(xyz)
+    ref_mean = ref.mean(axis=0, keepdims=True)
+    r = ref - ref_mean
+    cov = jnp.einsum("bni,nj->bij", x, r)
+    u, s, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", u, vt))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1)
+    rot = jnp.einsum("bij,bj,bjk->bik", u, d, vt)
+    return jnp.einsum("bni,bij->bnj", x, rot) + ref_mean[None]
+
+
 def kabsch_rmsd(xyz: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """Minimum RMSD of each frame to ``ref`` after optimal superposition.
 
