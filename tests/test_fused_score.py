@@ -110,3 +110,27 @@ def test_fused_sampling_matches_standard(monkeypatch):
     fused_fn = gd.make_fused_sample_fn(params, 4, block_chains=4, interpret=True)
     out = fused_fn(key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_chain_lane_kernel_matches_xla():
+    """The chain-lane fused kernel (ops/fused_score_cl.py) must match the
+    XLA score path on the production edge config, for fixed and runtime t,
+    with and without in-kernel remat."""
+    from twoforone_tpu.ops.fused_score_cl import make_fused_force_kernel_cl
+
+    model, params = _setup(intrinsic=True, distances=False, hidden=24, layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (128, 10, 3)) * 2.0
+    x = x - x.mean(axis=1, keepdims=True)
+    t = jnp.full((128,), 0.02)
+    ref = score_forward(model, params, x, t)
+    for remat in (True, False):
+        kern = make_fused_force_kernel_cl(
+            model, params, 0.02, interpret=True, remat=remat
+        )
+        np.testing.assert_allclose(
+            np.asarray(kern(x)), np.asarray(ref), atol=5e-3, rtol=1e-2
+        )
+    kern_rt = make_fused_force_kernel_cl(model, params, None, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(kern_rt(x, 0.02)), np.asarray(ref), atol=5e-3, rtol=1e-2
+    )

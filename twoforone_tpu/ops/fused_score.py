@@ -178,7 +178,7 @@ def _dense3(z, kernel, bias=None):
     return out if bias is None else out + bias
 
 
-def _energy_forward_packed(xc, p, derived, model, t_norm):
+def _energy_forward_packed(xc, p, derived, model, t_norm, remat=True):
     """Head-PACKED energy forward: all heads in one masked attention matmul.
 
     Rather than looping heads over tiny 10x10 attention matmuls, heads are
@@ -310,7 +310,10 @@ def _energy_forward_packed(xc, p, derived, model, t_norm):
         return g
 
     for i in range(model.n_layers):
-        nodes = remat_layer(i)(nodes, x_pack, x_pack_t, dist_pack)
+        if remat:
+            nodes = remat_layer(i)(nodes, x_pack, x_pack_t, dist_pack)
+        else:
+            nodes = layer_fn(nodes, x_pack, x_pack_t, dist_pack, i)
 
     energy = _dense3(nodes, p["node_decoder"]["kernel"], p["node_decoder"]["bias"])
     return jnp.sum(energy)
@@ -420,6 +423,8 @@ def make_fused_force_kernel(
     interpret: bool = False,
     precision: str = "default",
     packed: bool = True,
+    remat: bool = True,
+    vmem_limit_mb: int = 100,
 ) -> Callable:
     """Build the score-net forward as ONE Pallas kernel.
 
@@ -442,7 +447,10 @@ def make_fused_force_kernel(
     flat_inputs = [jnp.asarray(a) for a in flat_inputs]
     n_beads = model.num_beads
     runtime_t = t_norm is None
-    energy_fwd = _energy_forward_packed if packed else _energy_forward
+    if packed:
+        energy_fwd = lambda *a: _energy_forward_packed(*a, remat=remat)
+    else:
+        energy_fwd = _energy_forward
 
     def kernel(*refs):
         if runtime_t:
@@ -501,7 +509,7 @@ def make_fused_force_kernel(
                 # Mosaic's stack allocator does not reuse buffers across the
                 # unrolled fwd+bwd, so the default 16MB scoped-vmem budget is
                 # far too small; v5e has 128MB of physical VMEM.
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
             ),
         )(*args)
 

@@ -1,0 +1,186 @@
+"""Positive control: the full train -> sample -> evaluate stack must LEARN.
+
+Trains a diffusion model through the complete :class:`Trainer` path on a
+synthetic 5-bead system with an exactly known 4-basin torsion distribution
+(data/synthetic.py), then holds the trained model to absolute accuracy bars:
+
+- i.i.d. samples (full T=1000 reverse chain) must reproduce the phi/psi
+  distribution: dihedral JS vs. the generator < 0.05 (the level the
+  reference's trained ala2 models reach on real data —
+  evaluate/evaluators_CGflowmatching.py JS scale).
+- Langevin samples from the extracted force field (noise level t) must do
+  the same — validating the score->force->BAOAB pipeline end to end.
+- bf16 score-net Langevin must match f32 at distribution level (the claim
+  behind bench.py's bf16 headline).
+
+Used by tests/test_positive_control.py (CPU, slow lane) and
+scripts/positive_control.py (TPU, larger budget).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+from twoforone_tpu.data.datasets import CGDataset
+from twoforone_tpu.data.pdb import load_pdb
+from twoforone_tpu.data.synthetic import bimodal_dipeptide_dataset
+from twoforone_tpu.evaluate.metrics import get_prob, get_torsions, js_divergence
+
+_ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
+
+
+def dihedral_js(coords_a, coords_b, n_bins: int = 61) -> float:
+    """JS between the 2D phi/psi histograms of two conformation sets."""
+    pa = get_prob(get_torsions(coords_a), n_bins=n_bins)
+    pb = get_prob(get_torsions(coords_b), n_bins=n_bins)
+    return float(js_divergence(pa, pb))
+
+
+def pwd_js(coords_a, coords_b, n_bins: int = 100) -> float:
+    """JS between pooled pairwise-distance histograms (1D)."""
+
+    def pwd(c):
+        c = np.asarray(c)
+        d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
+        iu = np.triu_indices(c.shape[1], k=1)
+        return d[:, iu[0], iu[1]].ravel()
+
+    da, db = pwd(coords_a), pwd(coords_b)
+    lo, hi = 0.0, max(da.max(), db.max()) * 1.05
+    ha = np.histogram(da, bins=n_bins, range=(lo, hi))[0]
+    hb = np.histogram(db, bins=n_bins, range=(lo, hi))[0]
+    return float(js_divergence(ha, hb))
+
+
+def run_positive_control(
+    train_iter: int = 4000,
+    n_data: int = 40000,
+    batch_size: int = 256,
+    hidden_nf: int = 48,
+    n_layers: int = 2,
+    learning_rate: float = 2e-3,
+    num_samples: int = 8192,
+    langevin_chains: int = 128,
+    langevin_steps: int = 20000,
+    langevin_save_interval: int = 100,
+    t_noise: int = 15,
+    seed: int = 0,
+    results_folder: str = None,
+    bf16_compare: bool = True,
+) -> dict:
+    """Run the whole control experiment; returns the metric dict."""
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.dynamics.langevin import LangevinDiffusion
+    from twoforone_tpu.models.graph_transformer import GraphTransformer
+    from twoforone_tpu.train.trainer import Trainer
+    from twoforone_tpu.utils.config import TrainConfig
+
+    data = bimodal_dipeptide_dataset(n_data, seed=seed)
+    topology = load_pdb(os.path.join(_ASSETS, "folded_pdbs", "ala2_cg.pdb")).topology
+    n_train = int(0.7 * n_data)
+    n_val = int(0.1 * n_data)
+    mk = lambda arr: CGDataset(arr, topology, "alanine_fold1", mean0=True)
+    trainset = mk(data[:n_train])
+    valset = mk(data[n_train : n_train + n_val])
+    testset = mk(data[n_train + n_val :])
+
+    if results_folder is None:
+        results_folder = tempfile.mkdtemp(prefix="positive_control_")
+
+    norm_factor = float(trainset.data.std())
+    model = GraphTransformer(
+        num_beads=5,
+        hidden_nf=hidden_nf,
+        n_layers=n_layers,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        conservative=True,
+    )
+    gd = GaussianDiffusion(
+        model=model,
+        num_atoms=5,
+        timesteps=1000,
+        norm_factor=norm_factor,
+        loss_weights="higheruntil_100",
+    )
+    cfg = TrainConfig(
+        mol="alanine_dipeptide_fuberlin",
+        data_folder=None,
+        results_folder=results_folder,
+        tensorboard_folder=os.path.join(results_folder, "runs"),
+        experiment_name="positive_control",
+        hidden_features_gnn=hidden_nf,
+        num_layers_gnn=n_layers,
+        conservative=True,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        min_lr_cosine_anneal=learning_rate / 20,
+        train_iter=train_iter,
+        eval_interval=train_iter,  # no mid-train eval; final_eval still runs
+        log_tensorboard_interval=100,
+        num_samples=min(2048, num_samples),
+        num_samples_final_eval=min(2048, num_samples),
+        eval_langevin=False,
+        seed=seed,
+    )
+    trainer = Trainer(gd, (trainset, valset, testset), "alanine", cfg, use_tensorboard=False)
+    trainer.train()
+
+    # ---- i.i.d. samples through the full reverse chain (EMA weights)
+    iid = trainer.sample(num_samples)
+    reference = bimodal_dipeptide_dataset(num_samples, seed=seed + 1)
+    floor_draw = bimodal_dipeptide_dataset(num_samples, seed=seed + 2)
+    results = {
+        "js_floor": dihedral_js(reference, floor_draw),
+        "js_iid": dihedral_js(iid, reference),
+        "pwd_js_iid": pwd_js(iid, reference),
+        "pwd_js_floor": pwd_js(reference, floor_draw),
+    }
+
+    # ---- Langevin from the extracted force field. Chains initialize from
+    # the model's own i.i.d. samples — the reference's langevin gen_mode
+    # (sample.py:176-214) — so the metric reflects the model, not the data
+    # it would otherwise be seeded with.
+    ema_params = jax.device_get(trainer.state.ema_params)
+    rng = np.random.default_rng(seed + 3)
+    init = np.asarray(iid)[rng.integers(0, len(iid), langevin_chains)]
+
+    def run_langevin(bf16):
+        sim = LangevinDiffusion(
+            gd,
+            ema_params,
+            init,
+            n_timesteps=langevin_steps,
+            save_interval=langevin_save_interval,
+            t=t_noise,
+            temp_data=300,
+            temp_sim=300,
+            dt=None,
+            masses=[12.8] * 5,
+            friction=1.0,
+            kb="consistent",
+            random_seed=seed,
+            log=False,
+            bf16=bf16,
+        )
+        return sim.sample()
+
+    traj_f32 = run_langevin(False)
+    results["js_langevin_f32"] = dihedral_js(traj_f32, reference)
+    results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
+    if bf16_compare:
+        traj_bf16 = run_langevin(True)
+        results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference)
+        results["js_bf16_vs_f32"] = dihedral_js(traj_bf16, traj_f32)
+        results["pwd_js_bf16_vs_f32"] = pwd_js(traj_bf16, traj_f32)
+    results["results_folder"] = results_folder
+    return results
