@@ -59,6 +59,10 @@ def _make_sim(gd, params, parallel_sim, steps_per_chunk):
         # reference's AMP; validated to leave the Langevin equilibrium
         # distribution unchanged (docs/PERF_NOTES.md).
         bf16=True,
+        # Chain-lane fused Pallas force kernel (ops/fused_score_cl.py):
+        # "auto" resolves to it on TPU for the production edge config. Its
+        # matmul error class equals the XLA default path (docs/PERF_NOTES.md).
+        fused="auto",
         # The benchmark model is untrained, so its energy landscape is
         # unbounded below; a harmonic tether + force clipping keep the
         # trajectories finite (two fused elementwise ops, no measurable cost).

@@ -43,12 +43,14 @@ def make_diffusion_force_fn(
     Langevin equilibrium distribution unchanged on the exactly solvable
     Gaussian system (docs/PERF_NOTES.md).
 
-    ``fused`` selects the fused Pallas score kernel (ops/fused_score.py) that
-    runs the entire force evaluation in one TPU kernel: "auto" uses it when
-    the model is conservative and running on TPU, "always"/"never" force the
-    choice. Default "never": the fused kernel's one-time Mosaic compile runs
-    tens of minutes for full-size models (cached persistently afterwards —
-    see utils/cache.py), so it is opt-in for long production simulations.
+    ``fused`` selects a fused Pallas score kernel that runs the entire force
+    evaluation in one TPU kernel: "cl" = the chain-lane kernel
+    (ops/fused_score_cl.py, production edge config only), "always" = the
+    head-packed kernel (ops/fused_score.py), "auto" picks the chain-lane
+    kernel when the model/config supports it and a TPU backend is active,
+    "never" keeps the plain XLA path. The kernels' one-time Mosaic compile
+    can run minutes for full-size models (cached persistently afterwards —
+    see utils/cache.py).
     """
     buf = diffusion.buffers
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
@@ -58,18 +60,45 @@ def make_diffusion_force_fn(
     if bf16:
         model = model.clone(dtype=jnp.bfloat16)
 
-    use_fused = False
-    if fused == "always":
-        use_fused = True
-    elif fused == "auto":
-        import jax
-
-        use_fused = (
-            getattr(diffusion.model, "conservative", False)
-            and jax.default_backend() not in ("cpu",)
+    def _cl_supported():
+        m = diffusion.model
+        return (
+            getattr(m, "conservative", False)
+            and m.use_intrinsic_coords
+            and not m.use_abs_coords
+            and not m.use_distances
         )
 
-    if use_fused:
+    mode = fused
+    if fused == "auto":
+        import jax
+
+        if jax.default_backend() in ("cpu",):
+            mode = "never"
+        elif _cl_supported():
+            mode = "cl"
+        elif getattr(diffusion.model, "conservative", False):
+            mode = "always"
+        else:
+            mode = "never"
+
+    if mode == "cl":
+        from twoforone_tpu.ops.fused_score import pad_chains
+        from twoforone_tpu.ops.fused_score_cl import LANE_B, make_fused_force_kernel_cl
+
+        kernel = make_fused_force_kernel_cl(model, params, t_norm)
+
+        def force_fn(x):
+            b = x.shape[0]
+            xp, _ = pad_chains(x, LANE_B)
+            eps_hat = kernel(xp)[:b]
+            forces = -eps_hat * scale
+            potential = jnp.zeros((b,), dtype=jnp.float32)
+            return potential, forces
+
+        return force_fn
+
+    if mode == "always":
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
         kernel = make_fused_force_kernel(

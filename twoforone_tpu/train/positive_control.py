@@ -70,6 +70,8 @@ def run_positive_control(
     seed: int = 0,
     results_folder: str = None,
     bf16_compare: bool = True,
+    phi_components=None,
+    psi_components=None,
 ) -> dict:
     """Run the whole control experiment; returns the metric dict."""
     import jax
@@ -80,7 +82,13 @@ def run_positive_control(
     from twoforone_tpu.train.trainer import Trainer
     from twoforone_tpu.utils.config import TrainConfig
 
-    data = bimodal_dipeptide_dataset(n_data, seed=seed)
+    from twoforone_tpu.data import synthetic
+
+    mix = dict(
+        phi_components=phi_components or synthetic.PHI_COMPONENTS,
+        psi_components=psi_components or synthetic.PSI_COMPONENTS,
+    )
+    data = bimodal_dipeptide_dataset(n_data, seed=seed, **mix)
     topology = load_pdb(os.path.join(_ASSETS, "folded_pdbs", "ala2_cg.pdb")).topology
     n_train = int(0.7 * n_data)
     n_val = int(0.1 * n_data)
@@ -137,8 +145,8 @@ def run_positive_control(
 
     # ---- i.i.d. samples through the full reverse chain (EMA weights)
     iid = trainer.sample(num_samples)
-    reference = bimodal_dipeptide_dataset(num_samples, seed=seed + 1)
-    floor_draw = bimodal_dipeptide_dataset(num_samples, seed=seed + 2)
+    reference = bimodal_dipeptide_dataset(num_samples, seed=seed + 1, **mix)
+    floor_draw = bimodal_dipeptide_dataset(num_samples, seed=seed + 2, **mix)
     results = {
         "js_floor": dihedral_js(reference, floor_draw),
         "js_iid": dihedral_js(iid, reference),
