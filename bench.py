@@ -81,14 +81,15 @@ def bench_langevin(gd, params, parallel_sim, warmup_steps, timed_steps):
 
 
 def bench_iid(gd, params, batch=4096):
-    """Full T=1000 reverse chain at the throughput-optimal batch."""
+    """Full T=1000 reverse chain at the throughput-optimal batch, through
+    the chain-lane fused score kernel (runtime-t)."""
     import jax
 
-    sample_fn = gd.make_sample_fn(batch)
-    out = sample_fn(params, jax.random.PRNGKey(0))  # compile + run
+    sample_fn = gd.make_fused_sample_fn(params, batch)
+    out = sample_fn(jax.random.PRNGKey(0))  # compile + run
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = sample_fn(params, jax.random.PRNGKey(1))
+    out = sample_fn(jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     return batch / elapsed

@@ -97,8 +97,11 @@ def test_pad_chains():
     assert padded2.shape == (10, 5, 3) and n2 == 10
 
 
-def test_fused_sampling_matches_standard(monkeypatch):
-    """Reverse-chain sampling through the runtime-t fused kernel must match
+@pytest.mark.parametrize(
+    "kernel", ["packed", pytest.param("cl", marks=pytest.mark.slow)]
+)
+def test_fused_sampling_matches_standard(kernel):
+    """Reverse-chain sampling through the runtime-t fused kernels must match
     the standard path (same keys, tiny T)."""
     from twoforone_tpu.core.diffusion import GaussianDiffusion
 
@@ -107,7 +110,9 @@ def test_fused_sampling_matches_standard(monkeypatch):
                            norm_factor=2.0, loss_weights="ones")
     key = jax.random.PRNGKey(0)
     ref = gd.sample(params, 4, key)
-    fused_fn = gd.make_fused_sample_fn(params, 4, block_chains=4, interpret=True)
+    fused_fn = gd.make_fused_sample_fn(
+        params, 4, block_chains=4, interpret=True, kernel=kernel
+    )
     out = fused_fn(key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 

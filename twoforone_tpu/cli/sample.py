@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 score-net compute in the Langevin loop "
                         "(~1.4x; physics-validated, docs/PERF_NOTES.md)")
     p.add_argument("--fused", type=str, default="never",
-                   help="fused Pallas force kernel: never | auto | always "
+                   help="fused Pallas force kernel: never | auto | cl | always "
                         "(long one-time compile, persistently cached)")
     return p
 
@@ -142,8 +142,13 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(samp_args.seed)
     batch = samp_args.batch_size_gen
-    sample_fn = gd.make_sample_fn(batch)
-    driver = lambda b, k: sample_fn(ema_params, k)
+    if samp_args.fused != "never" and getattr(gd.model, "conservative", False):
+        # Fused Pallas reverse chain (chain-lane kernel when supported).
+        fused_fn = gd.make_fused_sample_fn(ema_params, batch)
+        driver = lambda b, k: fused_fn(k)
+    else:
+        sample_fn = gd.make_sample_fn(batch)
+        driver = lambda b, k: sample_fn(ema_params, k)
 
     if samp_args.gen_mode == "iid":
         sampled_mol = sample_from_model(

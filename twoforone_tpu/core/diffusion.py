@@ -250,23 +250,44 @@ class GaussianDiffusion:
         return jax.jit(lambda params, key: self.sample(params, batch_size, key))
 
     def make_fused_sample_fn(self, params, batch_size: int,
-                             block_chains: int = 128, interpret: bool = False):
-        """Jitted sampling closure using the fused Pallas score kernel
+                             block_chains: int = 128, interpret: bool = False,
+                             kernel: str = "auto"):
+        """Jitted sampling closure using a fused Pallas score kernel
         (conservative models only): (key) -> (batch, N, 3).
 
         Parameters are baked into the kernel at build time (the per-head edge
         matrices are precomputed host-side), so unlike make_sample_fn this
         binds params once — the right trade for inference/serving.
+
+        ``kernel``: "cl" = chain-lane (ops/fused_score_cl.py, production edge
+        config), "packed" = head-packed (ops/fused_score.py), "auto" = the
+        chain-lane kernel whenever the model config supports it.
         """
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
-        kernel = make_fused_force_kernel(
-            self.model, params, None, block_chains=block_chains, interpret=interpret
+        m = self.model
+        cl_ok = (
+            m.conservative and m.use_intrinsic_coords
+            and not m.use_abs_coords and not m.use_distances
         )
+        if kernel == "auto":
+            kernel = "cl" if cl_ok else "packed"
+        if kernel == "cl":
+            from twoforone_tpu.ops.fused_score_cl import (
+                LANE_B,
+                make_fused_force_kernel_cl,
+            )
+
+            kern = make_fused_force_kernel_cl(m, params, None, interpret=interpret)
+            block_chains = LANE_B
+        else:
+            kern = make_fused_force_kernel(
+                m, params, None, block_chains=block_chains, interpret=interpret
+            )
 
         def score_fn(x, t_norm_vec):
             xp, b = pad_chains(x, block_chains)
-            return kernel(xp, t_norm_vec[0])[:b]
+            return kern(xp, t_norm_vec[0])[:b]
 
         shape = (batch_size, self.num_atoms, 3)
 
