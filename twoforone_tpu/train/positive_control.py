@@ -15,6 +15,15 @@ synthetic 5-bead system with an exactly known 4-basin torsion distribution
 
 Used by tests/test_positive_control.py (CPU, slow lane) and
 scripts/positive_control.py (TPU, larger budget).
+
+Timestep weighting: the control trains with ``loss_weights="ones"`` (the
+reference's default, main_train.py) rather than the shipped-model
+``higheruntil_100``. The latter undersamples high-noise timesteps 9:1; the
+early reverse chain (which decides basin membership) then carries a
+persistent basin-weight bias that caps the i.i.d. dihedral JS around 0.07-0.09
+regardless of training budget (measured, docs/POSITIVE_CONTROL.md). Uniform
+weighting removes that cap; the Langevin force field at low t is trained at
+uniform rate either way.
 """
 
 from __future__ import annotations
@@ -72,6 +81,7 @@ def run_positive_control(
     bf16_compare: bool = True,
     phi_components=None,
     psi_components=None,
+    loss_weights: str = "ones",
 ) -> dict:
     """Run the whole control experiment; returns the metric dict."""
     import jax
@@ -115,7 +125,7 @@ def run_positive_control(
         num_atoms=5,
         timesteps=1000,
         norm_factor=norm_factor,
-        loss_weights="higheruntil_100",
+        loss_weights=loss_weights,
     )
     cfg = TrainConfig(
         mol="alanine_dipeptide_fuberlin",
@@ -125,6 +135,7 @@ def run_positive_control(
         experiment_name="positive_control",
         hidden_features_gnn=hidden_nf,
         num_layers_gnn=n_layers,
+        loss_weights=loss_weights,
         conservative=True,
         use_intrinsic_coords=True,
         use_abs_coords=False,
