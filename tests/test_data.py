@@ -200,3 +200,30 @@ def test_mdtrajectory_dataset_graph_mode():
     np.testing.assert_array_equal(g.edge_index[1], np.arange(1, n))
     assert g.atom_labels.shape == (n,)
     assert np.all(g.atom_labels >= 0)
+
+
+def test_synthetic_chain_torsion_roundtrip():
+    """NeRF construction must reproduce prescribed torsions under the mdtraj
+    sign convention, and the mixture sampler must hit its basin weights."""
+    from twoforone_tpu.data.synthetic import (
+        bimodal_dipeptide_dataset,
+        build_chain,
+        sample_torsion_mixture,
+    )
+    from twoforone_tpu.evaluate.metrics import get_torsions
+
+    b = np.full((4, 4), 1.53)
+    a = np.full((4, 3), 1.937)
+    tors = np.array([[-1.2, -2.0], [1.1, 0.6], [2.5, -0.3], [0.0, 3.0]])
+    rec = get_torsions(build_chain(b, a, tors))
+    np.testing.assert_allclose(rec, tors, atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    comps = ((0.7, -1.0, 50.0), (0.3, 1.5, 50.0))
+    t = sample_torsion_mixture(rng, 20000, comps)
+    w = (t > 0.25).mean()  # kappa=50 -> basins well separated
+    assert abs(w - 0.3) < 0.02
+
+    data = bimodal_dipeptide_dataset(512, seed=1)
+    assert data.shape == (512, 5, 3) and data.dtype == np.float32
+    np.testing.assert_allclose(data.mean(axis=1), 0.0, atol=1e-5)

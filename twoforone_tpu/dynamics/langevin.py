@@ -75,10 +75,13 @@ def make_diffusion_force_fn(
 
         if jax.default_backend() in ("cpu",):
             mode = "never"
-        elif _cl_supported():
+        # Measured-win regime: the chain-lane kernel is 2-2.7x the XLA path
+        # at small bead counts (docs/PERF_NOTES.md). At large N the N^2
+        # attention slabs grow quadratically in VMEM and the XLA geometric
+        # factorization is already strong (2.3x at N=56), so auto stays
+        # conservative; force with fused="cl" to experiment.
+        elif _cl_supported() and diffusion.model.num_beads <= 32:
             mode = "cl"
-        elif getattr(diffusion.model, "conservative", False):
-            mode = "always"
         else:
             mode = "never"
 

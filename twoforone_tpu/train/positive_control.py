@@ -155,7 +155,11 @@ def run_positive_control(
     trainer.train()
 
     # ---- i.i.d. samples through the full reverse chain (EMA weights)
-    iid = trainer.sample(num_samples)
+    iid = np.asarray(trainer.sample(num_samples))
+    finite = np.isfinite(iid).all(axis=(1, 2))
+    nonfinite_frac = float(1.0 - finite.mean())
+    iid = iid[finite]
+    assert len(iid) > 0, "every i.i.d. sample was non-finite"
     reference = bimodal_dipeptide_dataset(num_samples, seed=seed + 1, **mix)
     floor_draw = bimodal_dipeptide_dataset(num_samples, seed=seed + 2, **mix)
     results = {
@@ -163,6 +167,10 @@ def run_positive_control(
         "js_iid": dihedral_js(iid, reference),
         "pwd_js_iid": pwd_js(iid, reference),
         "pwd_js_floor": pwd_js(reference, floor_draw),
+        # Fraction of reverse chains that blew up (clamped coords at the
+        # ±1000 guard can still produce NaN forces at high t when the model
+        # is unstable there); must be ~0 for a healthy model.
+        "nonfinite_frac_iid": nonfinite_frac,
     }
 
     # ---- Langevin from the extracted force field. Chains initialize from

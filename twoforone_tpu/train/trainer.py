@@ -92,6 +92,16 @@ class Trainer:
         self.train_num_steps = config.train_iter
         self.eval_interval = config.eval_interval
         self.log_interval = max(1, config.log_tensorboard_interval)
+        # Device-side step chunking: run K optimizer steps inside one jitted
+        # lax.scan per host dispatch. The per-step host work (batch indexing,
+        # transfer, dispatch RTT) otherwise caps throughput — on a tunneled
+        # TPU at ~20 steps/s vs ~90 the device sustains. Eval/checkpoint
+        # cadence rounds to chunk boundaries.
+        self.chunk = max(1, int(getattr(config, "steps_per_host_loop", 1) or 1))
+        if self.chunk > 1:
+            self.eval_interval = max(
+                self.chunk, (self.eval_interval // self.chunk) * self.chunk
+            )
 
         # Optimizer: AdamW + cosine anneal to min lr (trainer.py:129-136).
         if config.min_lr_cosine_anneal is not None:
@@ -150,6 +160,7 @@ class Trainer:
         self.best_val_loss = math.inf
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_chunk = jax.jit(self._train_chunk_impl, donate_argnums=(0,))
         self._eval_loss_step = jax.jit(self._eval_loss_impl)
         self._sample_fn = self.gd.make_sample_fn(self.batch_size)
 
@@ -208,6 +219,22 @@ class Trainer:
         kl_max = jnp.maximum(jnp.asarray(state.kl_max, jnp.float32), kl_step)
         new_state = TrainState(params, ema_params, opt_state, state.step + 1, kl_max)
         return new_state, {"loss": loss, "kl_at_T": kl_step, "kl_max": kl_max}
+
+    def _train_chunk_impl(self, state: TrainState, batches, keys):
+        """K optimizer steps as one lax.scan (one host dispatch).
+
+        ``batches``: (K, B, N, 3) or (K, accum, B, N, 3); ``keys``: (K, 2).
+        Returns the state after K steps and the last step's metrics (the
+        running-max KL in the state still covers every inner step).
+        """
+
+        def body(st, xs):
+            b, k = xs
+            return self._train_step_impl(st, b, k)
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        last = jax.tree_util.tree_map(lambda a: a[-1], metrics)
+        return state, last
 
     def _eval_loss_impl(self, ema_params, batch, key):
         loss, _ = self.gd.loss(ema_params, batch, key)
@@ -291,15 +318,27 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
             key, step_key = jax.random.split(key)
-            if self.grad_accum == 1:
+            if self.chunk > 1:
+                draw = lambda: (
+                    next(it) if self.grad_accum == 1
+                    else np.stack([next(it) for _ in range(self.grad_accum)])
+                )
+                stacked = np.stack([draw() for _ in range(self.chunk)])
+                batch = shard_batch(
+                    stacked, self.mesh, batch_axis=1 if self.grad_accum == 1 else 2
+                )
+                keys = jax.random.split(step_key, self.chunk)
+                self.state, metrics = self._train_chunk(self.state, batch, keys)
+            elif self.grad_accum == 1:
                 batch = shard_batch(next(it), self.mesh)
+                self.state, metrics = self._train_step(self.state, batch, step_key)
             else:
                 micro = np.stack([next(it) for _ in range(self.grad_accum)])
                 batch = shard_batch(micro, self.mesh, batch_axis=1)
-            self.state, metrics = self._train_step(self.state, batch, step_key)
+                self.state, metrics = self._train_step(self.state, batch, step_key)
             step = int(self.state.step)
 
-            if step % self.log_interval == 0:
+            if self.chunk > 1 or step % self.log_interval == 0:
                 loss = float(metrics["loss"])
                 # Running max over ALL steps since start — raising the log
                 # interval cannot skip any step's KL-at-T invariant.

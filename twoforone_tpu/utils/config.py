@@ -60,6 +60,10 @@ class TrainConfig:
     # Micro-batches accumulated per optimizer step (reference trainer.py:40,
     # :246-258 — hardcoded to 1 in main_train.py:330; exposed as a flag here).
     gradient_accumulate_every: int = 1
+    # Optimizer steps per host dispatch (device-side lax.scan). >1 removes
+    # the per-step host round trip; eval cadence rounds to chunk boundaries.
+    # No reference counterpart (torch steps once per Python iteration).
+    steps_per_host_loop: int = 1
     learning_rate: float = 2e-4
     weight_decay: float = 1e-12
     train_iter: int = 2500000
