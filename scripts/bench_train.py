@@ -1,5 +1,12 @@
 """Training-throughput benchmark: steps/sec of the full jitted train step
-(chignolin shipped config: nf=64, 3 layers, batch 512, conservative)."""
+(chignolin shipped config: nf=64, 3 layers, batch 512, conservative).
+
+``--trainer [chunk]`` instead drives the real Trainer end to end on a
+synthetic dataset (chunk = steps_per_host_loop; default compares 1 vs 50).
+The raw-step metric overstates what Trainer.train() can sustain on a
+latency-bound host (async dispatch pipelines 50 steps); the trainer metric
+includes batch prep + the per-loop host sync, which device-side chunking
+amortizes."""
 
 import json
 import os
@@ -9,6 +16,56 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_trainer(chunk: int, steps: int = 400):
+    """steps/s of Trainer.train() (chignolin config, synthetic data)."""
+    import time
+
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.data.datasets import CGDataset
+    from twoforone_tpu.data.molecules import FOLDED_PDB_DIR, Molecules
+    from twoforone_tpu.data.pdb import load_pdb
+    from twoforone_tpu.models.graph_transformer import GraphTransformer
+    from twoforone_tpu.train.trainer import Trainer
+    from twoforone_tpu.utils.config import TrainConfig
+
+    import tempfile
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(20000, 10, 3)).astype(np.float32) * 3.1
+    topo = load_pdb(os.path.join(FOLDED_PDB_DIR, "CLN025-0-c-alpha.pdb")).topology
+    mk = lambda a: CGDataset(a, topo, Molecules.CHIGNOLIN, mean0=True)
+    out = tempfile.mkdtemp(prefix="bench_train_")
+    model = GraphTransformer(
+        num_beads=10, hidden_nf=64, n_layers=3, use_intrinsic_coords=True,
+        use_abs_coords=False, use_distances=False, conservative=True,
+    )
+    gd = GaussianDiffusion(model=model, num_atoms=10, timesteps=1000,
+                           norm_factor=3.11, loss_weights="higheruntil_100")
+    cfg = TrainConfig(
+        mol="chignolin", data_folder=None, results_folder=out,
+        tensorboard_folder=os.path.join(out, "runs"),
+        batch_size=512, train_iter=steps, eval_interval=10**9,
+        steps_per_host_loop=chunk, log_tensorboard_interval=10**9,
+        num_samples=64, num_samples_final_eval=64, eval_langevin=False,
+    )
+    trainer = Trainer(gd, (mk(data), mk(data[:2048]), mk(data[:2048])),
+                      "chignolin", cfg, use_tensorboard=False)
+    trainer.final_eval = lambda key: None  # time the drive loop only
+
+    # warmup run (compile)
+    trainer.train_num_steps = 2 * chunk
+    trainer.train()
+
+    start = int(trainer.state.step)
+    trainer.train_num_steps = start + steps
+    t0 = time.perf_counter()
+    trainer.train()
+    dt = time.perf_counter() - t0
+    return (int(trainer.state.step) - start) / dt
 
 
 def main():
@@ -72,5 +129,21 @@ def main():
     }))
 
 
+def main_trainer():
+    import json
+
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    chunks = [int(a) for a in sys.argv[2:]] or [1, 50]
+    out = {}
+    for c in chunks:
+        out[f"trainer_steps_per_sec_chunk{c}"] = round(bench_trainer(c), 2)
+        print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--trainer":
+        main_trainer()
+    else:
+        main()

@@ -16,13 +16,20 @@ def main():
     from twoforone_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    train_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    num_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    # Defaults = the measured-green recipe of docs/POSITIVE_CONTROL.md.
+    train_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
+    num_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
     results = run_positive_control(
         train_iter=train_iter,
+        n_data=200000,
+        batch_size=1024,
+        hidden_nf=64,
+        n_layers=3,
+        learning_rate=6e-4,
         num_samples=num_samples,
         langevin_chains=256,
         langevin_steps=30000,
+        langevin_save_interval=100,
     )
     print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                       for k, v in results.items()}))

@@ -38,9 +38,11 @@ FULL = os.environ.get("POSCONTROL_FULL") == "1"
 
 def test_trained_model_reaches_low_js(tmp_path):
     if FULL:
+        # The measured-green recipe (docs/POSITIVE_CONTROL.md): js_iid lands
+        # AT the statistical floor (0.016 vs floor 0.015), Langevin at 0.035.
         results = run_positive_control(
-            train_iter=60000, n_data=200000, batch_size=1024,
-            hidden_nf=64, n_layers=3, learning_rate=2e-3,
+            train_iter=80000, n_data=200000, batch_size=1024,
+            hidden_nf=64, n_layers=3, learning_rate=6e-4,
             num_samples=40000, langevin_chains=256, langevin_steps=30000,
             langevin_save_interval=100,
             results_folder=str(tmp_path), seed=0,
@@ -48,17 +50,20 @@ def test_trained_model_reaches_low_js(tmp_path):
         bar_iid, bar_pwd, bar_langevin = 0.05, 0.01, 0.05
         bar_bf16, bar_bf16_pwd = 0.02, 0.005
     else:
+        # CI tier: 1-core-CPU-feasible budget. Scoring uses 31 bins (the
+        # 61-bin floor at 4096 samples is 0.10 — it would drown the signal;
+        # at 31 bins the floor is 0.032) and a small final_eval (the
+        # T=1000 reverse chain is the CPU cost driver).
         results = run_positive_control(
             train_iter=3500, n_data=40000, batch_size=256,
-            num_samples=6000, langevin_chains=96, langevin_steps=12000,
-            langevin_save_interval=50,
+            num_samples=4096, langevin_chains=64, langevin_steps=8000,
+            langevin_save_interval=50, n_bins=31, final_eval_samples=256,
             results_folder=str(tmp_path), seed=0,
         )
         # Bars calibrated to the 3,500-step budget (docs/POSITIVE_CONTROL.md
-        # has the measured trajectory: 3.5k steps ~ 0.26-0.35, 20k ~ 0.068,
-        # 60k full budget < 0.05; an untrained model scores ~0.55).
-        bar_iid, bar_pwd, bar_langevin = 0.4, 0.08, 0.4
-        bar_bf16, bar_bf16_pwd = 0.12, 0.01
+        # has the measured trajectory; an untrained model scores ~0.5+).
+        bar_iid, bar_pwd, bar_langevin = 0.3, 0.08, 0.3
+        bar_bf16, bar_bf16_pwd = 0.1, 0.01
     print(results)
 
     # The statistical noise floor of the JS estimator at this sample count

@@ -82,6 +82,8 @@ def run_positive_control(
     phi_components=None,
     psi_components=None,
     loss_weights: str = "ones",
+    n_bins: int = 61,
+    final_eval_samples: int = None,
 ) -> dict:
     """Run the whole control experiment; returns the metric dict."""
     import jax
@@ -146,8 +148,8 @@ def run_positive_control(
         train_iter=train_iter,
         eval_interval=train_iter,  # no mid-train eval; final_eval still runs
         log_tensorboard_interval=100,
-        num_samples=min(2048, num_samples),
-        num_samples_final_eval=min(2048, num_samples),
+        num_samples=final_eval_samples or min(2048, num_samples),
+        num_samples_final_eval=final_eval_samples or min(2048, num_samples),
         eval_langevin=False,
         seed=seed,
     )
@@ -163,8 +165,8 @@ def run_positive_control(
     reference = bimodal_dipeptide_dataset(num_samples, seed=seed + 1, **mix)
     floor_draw = bimodal_dipeptide_dataset(num_samples, seed=seed + 2, **mix)
     results = {
-        "js_floor": dihedral_js(reference, floor_draw),
-        "js_iid": dihedral_js(iid, reference),
+        "js_floor": dihedral_js(reference, floor_draw, n_bins=n_bins),
+        "js_iid": dihedral_js(iid, reference, n_bins=n_bins),
         "pwd_js_iid": pwd_js(iid, reference),
         "pwd_js_floor": pwd_js(reference, floor_draw),
         # Fraction of reverse chains that blew up (clamped coords at the
@@ -202,12 +204,12 @@ def run_positive_control(
         return sim.sample()
 
     traj_f32 = run_langevin(False)
-    results["js_langevin_f32"] = dihedral_js(traj_f32, reference)
+    results["js_langevin_f32"] = dihedral_js(traj_f32, reference, n_bins=n_bins)
     results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
     if bf16_compare:
         traj_bf16 = run_langevin(True)
-        results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference)
-        results["js_bf16_vs_f32"] = dihedral_js(traj_bf16, traj_f32)
+        results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference, n_bins=n_bins)
+        results["js_bf16_vs_f32"] = dihedral_js(traj_bf16, traj_f32, n_bins=n_bins)
         results["pwd_js_bf16_vs_f32"] = pwd_js(traj_bf16, traj_f32)
     results["results_folder"] = results_folder
     return results
