@@ -266,9 +266,13 @@ class GaussianDiffusion:
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
         m = self.model
+        # Same verified-range gate as dynamics/langevin.py: the chain-lane
+        # kernel Mosaic-compiles and wins at N <= 10 (ala2/chignolin); at
+        # trp_cage scale its 4D attention slabs exceed VMEM.
         cl_ok = (
             m.conservative and m.use_intrinsic_coords
             and not m.use_abs_coords and not m.use_distances
+            and m.num_beads <= 10
         )
         if kernel == "auto":
             kernel = "cl" if cl_ok else "packed"

@@ -75,12 +75,13 @@ def make_diffusion_force_fn(
 
         if jax.default_backend() in ("cpu",):
             mode = "never"
-        # Measured-win regime: the chain-lane kernel is 2-2.7x the XLA path
-        # at small bead counts (docs/PERF_NOTES.md). At large N the N^2
-        # attention slabs grow quadratically in VMEM and the XLA geometric
-        # factorization is already strong (2.3x at N=56), so auto stays
-        # conservative; force with fused="cl" to experiment.
-        elif _cl_supported() and diffusion.model.num_beads <= 32:
+        # Verified-win regime: the chain-lane kernel is 2-2.7x the XLA path
+        # and numerically validated at ala2 (N=5) / chignolin (N=10) scale.
+        # At trp_cage scale (N=20, nf=128) the 4D attention slabs blow the
+        # 128MB VMEM budget and Mosaic compilation fails (docs/PERF_NOTES.md
+        # "Large-N status"), so auto only engages in the verified range;
+        # force with fused="cl" to experiment.
+        elif _cl_supported() and diffusion.model.num_beads <= 10:
             mode = "cl"
         else:
             mode = "never"
