@@ -84,6 +84,7 @@ def run_positive_control(
     loss_weights: str = "ones",
     n_bins: int = 61,
     final_eval_samples: int = None,
+    timesteps: int = 1000,
 ) -> dict:
     """Run the whole control experiment; returns the metric dict."""
     import jax
@@ -125,7 +126,7 @@ def run_positive_control(
     gd = GaussianDiffusion(
         model=model,
         num_atoms=5,
-        timesteps=1000,
+        timesteps=timesteps,
         norm_factor=norm_factor,
         loss_weights=loss_weights,
     )
@@ -137,6 +138,7 @@ def run_positive_control(
         experiment_name="positive_control",
         hidden_features_gnn=hidden_nf,
         num_layers_gnn=n_layers,
+        diffusion_steps=timesteps,
         loss_weights=loss_weights,
         conservative=True,
         use_intrinsic_coords=True,
