@@ -135,6 +135,13 @@ def test_chain_lane_kernel_matches_xla():
         np.testing.assert_allclose(
             np.asarray(kern(x)), np.asarray(ref), atol=5e-3, rtol=1e-2
         )
+    # loop-over-i attention formulation (large-N VMEM shape) is exact too
+    kern_li = make_fused_force_kernel_cl(
+        model, params, 0.02, interpret=True, loop_i=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(kern_li(x)), np.asarray(ref), atol=5e-3, rtol=1e-2
+    )
     kern_rt = make_fused_force_kernel_cl(model, params, None, interpret=True)
     np.testing.assert_allclose(
         np.asarray(kern_rt(x, 0.02)), np.asarray(ref), atol=5e-3, rtol=1e-2

@@ -119,8 +119,16 @@ def _ln_cols(h2d, scale, bias, eps=1e-5):
     return (h2d - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32):
-    """Energy sum for one chain block. x_cl: (3, N, B) centered coords."""
+def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
+                       loop_i: bool = False):
+    """Energy sum for one chain block. x_cl: (3, N, B) centered coords.
+
+    ``loop_i`` replaces the 4D ``(dh, N_i, N_j, B)`` broadcast-reduce
+    contractions with a static python loop over N_i producing 3D
+    ``(dh, N_j, B)`` slabs — N_i-fold smaller live sets, for bead counts
+    where the 4D form exceeds Mosaic's VMEM stack (N >= ~20; see
+    docs/PERF_NOTES.md "Large-N status").
+    """
     heads, dh = model.heads, model.dim_head
     inner = heads * dh
     n = model.num_beads
@@ -148,21 +156,43 @@ def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32):
             vh3 = v2[sl].reshape(dh, n, b)
             qh3 = qh.reshape(dh, n, b)
 
-            # sim[i, j, b] = sum_d q[d,i,b] k[d,j,b]  (+ geometric terms)
-            sim = jnp.sum(qh3[:, :, None, :] * kh3[:, None, :, :], axis=0)
             qb = _mm(cast(d["bc_h"][hh]), qh).reshape(n, b)  # q . b_comb
-            sim = sim + qb[:, None, :]
             q_kd = _mm(cast(d["kd_h"][hh]), qh).reshape(3, n, b)  # (3, N, B)
-            sim = sim + jnp.sum(q_kd[:, :, None, :] * x3[:, None, :, :], axis=0)
-            sim = sim - jnp.sum(q_kd * x3, axis=0)[:, None, :]
+            qkd_x_diag = jnp.sum(q_kd * x3, axis=0)  # (N, B)
 
-            attn = jax.nn.softmax(scale * sim, axis=1)  # over j
+            if loop_i:
+                # 3D slabs only: one i-row of the attention at a time.
+                out_cols = []
+                fdiff_cols = []
+                for i in range(n):
+                    sim_i = jnp.sum(qh3[:, i : i + 1, :] * kh3, axis=0)  # (Nj, B)
+                    sim_i = sim_i + qb[i][None, :]
+                    sim_i = sim_i + jnp.sum(
+                        q_kd[:, i : i + 1, :] * x3, axis=0
+                    )
+                    sim_i = sim_i - qkd_x_diag[i][None, :]
+                    attn_i = jax.nn.softmax(scale * sim_i, axis=0)  # over j
+                    out_cols.append(jnp.sum(attn_i[None] * vh3, axis=1))  # (dh, B)
+                    fdiff_cols.append(
+                        jnp.sum(attn_i[None] * x3, axis=1) - x3[:, i, :]
+                    )  # (3, B)
+                out_h = jnp.stack(out_cols, axis=1)  # (dh, N, B)
+                fdiff = jnp.stack(fdiff_cols, axis=1)  # (3, N, B)
+            else:
+                # sim[i, j, b] = sum_d q[d,i,b] k[d,j,b]  (+ geometric terms)
+                sim = jnp.sum(qh3[:, :, None, :] * kh3[:, None, :, :], axis=0)
+                sim = sim + qb[:, None, :]
+                sim = sim + jnp.sum(q_kd[:, :, None, :] * x3[:, None, :, :], axis=0)
+                sim = sim - qkd_x_diag[:, None, :]
 
-            # out[d, i, b] = sum_j attn[i,j,b] v[d,j,b]
-            out_h = jnp.sum(attn[None, :, :, :] * vh3[:, None, :, :], axis=2)
+                attn = jax.nn.softmax(scale * sim, axis=1)  # over j
+
+                # out[d, i, b] = sum_j attn[i,j,b] v[d,j,b]
+                out_h = jnp.sum(attn[None, :, :, :] * vh3[:, None, :, :], axis=2)
+                # fdiff[c, i, b] = sum_j attn[i,j,b] x[c,j,b] - x[c,i,b]
+                fdiff = jnp.sum(attn[None, :, :, :] * x3[:, None, :, :], axis=2) - x3
+
             out_rows.append(out_h.reshape(dh, nb))
-            # fdiff[c, i, b] = sum_j attn[i,j,b] x[c,j,b] - x[c,i,b]
-            fdiff = jnp.sum(attn[None, :, :, :] * x3[:, None, :, :], axis=2) - x3
             md = _mm(cast(d["mdT_h"][hh]), cast(fdiff.reshape(3, nb)))  # (C, NB)
             fd_acc = md if fd_acc is None else fd_acc + md
 
@@ -192,6 +222,7 @@ def make_fused_force_kernel_cl(
     interpret: bool = False,
     remat: bool = True,
     vmem_limit_mb: int = 100,
+    loop_i: bool = False,
 ) -> Callable:
     """Chain-lane fused force kernel; signature mirrors
     :func:`twoforone_tpu.ops.fused_score.make_fused_force_kernel` with the
@@ -218,7 +249,7 @@ def make_fused_force_kernel_cl(
 
     def energy_of(xc, leaves, t_val):
         aug_t = jax.tree_util.tree_unflatten(treedef, leaves)
-        f = lambda xi: _energy_forward_cl(xi, aug_t, model, t_val)
+        f = lambda xi: _energy_forward_cl(xi, aug_t, model, t_val, loop_i=loop_i)
         if not remat:
             return f(xc)
 
