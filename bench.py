@@ -55,9 +55,10 @@ def _make_sim(gd, params, parallel_sim, steps_per_chunk):
         random_seed=0,
         steps_per_chunk=steps_per_chunk,
         log=False,
-        # bfloat16 score-net compute: the TPU-idiomatic analogue of the
-        # reference's AMP; validated to leave the Langevin equilibrium
-        # distribution unchanged (docs/PERF_NOTES.md).
+        # bfloat16 score-net compute: only effective if the run falls back to
+        # the plain-XLA path (e.g. fused kernels unavailable) — the fused
+        # Pallas kernels below supersede it with f32 activations + bf16-MXU
+        # matmul passes of their own (docs/PERF_NOTES.md).
         bf16=True,
         # Chain-lane fused Pallas force kernel (ops/fused_score_cl.py):
         # "auto" resolves to it on TPU for the production edge config. Its

@@ -363,3 +363,12 @@ def test_trainer_chunked_drive_loop(tmp_path):
     trainer.train()
     assert int(trainer.state.step) >= 10
     assert float(trainer.state.kl_max) <= 1e-4
+
+
+def test_trainer_chunked_stops_exactly_at_train_iter(tmp_path):
+    """The final chunk is clamped: train_iter not a multiple of
+    steps_per_host_loop must not overshoot (ends at exactly train_iter)."""
+    trainer, _ = _tiny_trainer(tmp_path, "chunkclamp", steps_per_host_loop=4,
+                               num_samples=32, num_samples_final_eval=32)
+    trainer.train()
+    assert int(trainer.state.step) == 10

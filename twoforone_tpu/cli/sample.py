@@ -142,9 +142,18 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(samp_args.seed)
     batch = samp_args.batch_size_gen
-    if samp_args.fused != "never" and getattr(gd.model, "conservative", False):
-        # Fused Pallas reverse chain (chain-lane kernel when supported).
-        fused_fn = gd.make_fused_sample_fn(ema_params, batch)
+    # Resolve --fused for iid mode with the same backend gate as the Langevin
+    # path (dynamics/langevin.py): "auto" on a CPU host keeps the standard XLA
+    # path instead of building a non-interpret Pallas TPU kernel.
+    fused_mode = samp_args.fused
+    if fused_mode == "auto" and jax.default_backend() == "cpu":
+        fused_mode = "never"
+    if fused_mode != "never" and getattr(gd.model, "conservative", False):
+        # Fused Pallas reverse chain; forward the flag to the kernel choice
+        # ("always" is documented as the head-packed kernel, "cl" forces the
+        # chain-lane kernel, "auto" picks per model config).
+        kernel = {"always": "packed", "cl": "cl", "auto": "auto"}[fused_mode]
+        fused_fn = gd.make_fused_sample_fn(ema_params, batch, kernel=kernel)
         driver = lambda b, k: fused_fn(k)
     else:
         sample_fn = gd.make_sample_fn(batch)
@@ -200,6 +209,17 @@ def main(argv=None):
         raise ValueError("Wrong argument 'gen_mode'")
 
     np.save(str(eval_folder / f"sample-{samp_args.gen_mode}.npy"), sampled_mol)
+    try:
+        # Torch-format export for the reference's notebook consumers
+        # (reference sample.py:242-247 saves the sampled tensor as .pt).
+        import torch
+
+        torch.save(
+            torch.from_numpy(np.asarray(sampled_mol)),
+            str(eval_folder / f"sample-{samp_args.gen_mode}.pt"),
+        )
+    except ImportError:
+        pass
     save_pdb(
         str(eval_folder / f"sample-{samp_args.gen_mode}.pdb"),
         np.asarray(sampled_mol[:1000]),

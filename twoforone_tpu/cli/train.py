@@ -56,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="micro-batches accumulated per optimizer step")
     p.add_argument("--steps_per_host_loop", type=int,
                    default=d.steps_per_host_loop,
-                   help="optimizer steps per host dispatch (device-side scan)")
+                   help="optimizer steps per host dispatch (device-side scan);"
+                        " >1 rounds eval_interval down to a chunk multiple and"
+                        " logs TB train loss at chunk granularity")
     p.add_argument("--learning_rate", type=float, default=d.learning_rate)
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
     p.add_argument("--train_iter", type=int, default=d.train_iter)

@@ -41,7 +41,10 @@ def make_diffusion_force_fn(
     ``bf16`` runs the score net in bfloat16 (the TPU-idiomatic analogue of the
     reference's AMP, trainer.py:141): ~1.3-1.5x faster; validated to leave the
     Langevin equilibrium distribution unchanged on the exactly solvable
-    Gaussian system (docs/PERF_NOTES.md).
+    Gaussian system (docs/PERF_NOTES.md). The fused Pallas kernels supersede
+    this flag: they keep f32 activations and use default-precision (bf16 MXU
+    pass) matmuls already, so ``bf16=True`` only affects the plain-XLA and
+    head-packed paths — on the chain-lane path it is a no-op.
 
     ``fused`` selects a fused Pallas score kernel that runs the entire force
     evaluation in one TPU kernel: "cl" = the chain-lane kernel

@@ -318,16 +318,20 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
             key, step_key = jax.random.split(key)
-            if self.chunk > 1:
+            # Clamp the final chunk so chunked training stops exactly at
+            # train_num_steps even when it is not a multiple of the chunk
+            # (the remainder chunk re-jits once — negligible).
+            chunk = min(self.chunk, self.train_num_steps - step)
+            if chunk > 1:
                 draw = lambda: (
                     next(it) if self.grad_accum == 1
                     else np.stack([next(it) for _ in range(self.grad_accum)])
                 )
-                stacked = np.stack([draw() for _ in range(self.chunk)])
+                stacked = np.stack([draw() for _ in range(chunk)])
                 batch = shard_batch(
                     stacked, self.mesh, batch_axis=1 if self.grad_accum == 1 else 2
                 )
-                keys = jax.random.split(step_key, self.chunk)
+                keys = jax.random.split(step_key, chunk)
                 self.state, metrics = self._train_chunk(self.state, batch, keys)
             elif self.grad_accum == 1:
                 batch = shard_batch(next(it), self.mesh)
