@@ -1,0 +1,141 @@
+"""Per-protein chain-lane kernel compile + parity + timing on the real TPU.
+
+For each shipped protein config (saved_models/*/args.pickle shapes), builds
+the chain-lane fused force kernel with the auto-selected options
+(ops/fused_score_cl.auto_opts), verifies Mosaic compiles it, checks force
+parity against the XLA geometric path, and times both (serialized K-step
+chain, like scripts/bench_force.py).
+
+Each protein runs in its own subprocess (the local compile helper can
+SIGKILL oversized Mosaic compiles; a crash must not kill the sweep):
+
+    python scripts/bench_cl_proteins.py            # all six, subprocessed
+    python scripts/bench_cl_proteins.py trp_cage   # one, in-process
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (beads, hidden_nf, n_layers) from the shipped args.pickle configs.
+CONFIGS = {
+    "alanine": (5, 96, 2),
+    "chignolin": (10, 64, 3),
+    "trp_cage": (20, 128, 3),
+    "bba": (28, 96, 3),
+    "villin": (35, 128, 3),
+    "protein_g": (56, 128, 3),
+}
+K = 200
+
+
+def time_chain(force_fn, x, iters=2):
+    import jax
+
+    @jax.jit
+    def chain(x):
+        def body(x, _):
+            f = force_fn(x)
+            return x + 1e-6 * f, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=K)
+        return out
+
+    out = chain(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = chain(x)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / K
+
+
+def run_one(mol: str, b: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from twoforone_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from twoforone_tpu.models.graph_transformer import (
+        GraphTransformer,
+        make_score_fn,
+    )
+    from twoforone_tpu.ops.fused_score_cl import (
+        auto_opts,
+        make_fused_force_kernel_cl,
+    )
+
+    n, nf, layers = CONFIGS[mol]
+    model = GraphTransformer(
+        num_beads=n, hidden_nf=nf, n_layers=layers,
+        use_intrinsic_coords=True, use_abs_coords=False,
+        use_distances=False, conservative=True,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, n, 3)), jnp.zeros((1,)),
+        return_energy=True,
+    )["params"]
+    t_norm = 0.015
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.normal(size=(b, n, 3)), np.float32) * 3.0
+    x = x - x.mean(axis=1, keepdims=True)
+
+    opts = auto_opts(n)
+    t0 = time.perf_counter()
+    kern = make_fused_force_kernel_cl(model, params, t_norm, **opts)
+    out_cl = np.asarray(kern(x))
+    compile_s = time.perf_counter() - t0
+
+    fn = make_score_fn(model, params)
+    tt = np.full((b,), t_norm, np.float32)
+    ref = np.asarray(jax.jit(lambda xx: fn(xx, tt))(x))
+    err = np.abs(out_cl - ref)
+    scale = float(np.abs(ref).mean())
+
+    per_cl = time_chain(kern, x)
+    per_xla = time_chain(lambda xx: fn(xx, tt), x)
+
+    print(json.dumps({
+        "mol": mol, "beads": n, "nf": nf, "opts": opts, "batch": b,
+        "compile_s": round(compile_s, 1),
+        "err_typ": round(float(err.mean()), 4),
+        "err_max": round(float(err.max()), 3),
+        "force_scale": round(scale, 2),
+        "cl_us": round(per_cl * 1e6, 1),
+        "xla_us": round(per_xla * 1e6, 1),
+        "speedup": round(per_xla / per_cl, 2),
+    }), flush=True)
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] in CONFIGS:
+        run_one(args[0], int(args[1]) if len(args) > 1 else 128)
+        return
+    mols = args if args else list(CONFIGS)
+    for mol in mols:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mol],
+            capture_output=True, text=True, timeout=3600,
+        )
+        out = (r.stdout or "").strip().splitlines()
+        if out and out[-1].startswith("{"):
+            print(out[-1], flush=True)
+        else:
+            tail = ((r.stderr or "").strip().splitlines() or ["?"])[-1][:200]
+            print(json.dumps({"mol": mol, "rc": r.returncode, "err": tail}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

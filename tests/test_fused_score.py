@@ -146,3 +146,36 @@ def test_chain_lane_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(kern_rt(x, 0.02)), np.asarray(ref), atol=5e-3, rtol=1e-2
     )
+
+
+@pytest.mark.parametrize("scope", ["layer", "head", "row"])
+def test_chain_lane_hierarchical_remat_matches_xla(scope):
+    """The large-N kernel configuration — loop-over-i attention with
+    hierarchical (layer/head/row) manual remat — must stay exact at a
+    trp_cage-scale bead count (N=20). The remat scopes change only WHEN
+    slabs are recomputed in the in-kernel backward, never the math."""
+    from twoforone_tpu.ops.fused_score_cl import make_fused_force_kernel_cl
+
+    model, params = _setup(
+        intrinsic=True, distances=False, n_beads=20, hidden=16, layers=1
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (128, 20, 3)) * 3.0
+    x = x - x.mean(axis=1, keepdims=True)
+    t = jnp.full((128,), 0.015)
+    ref = score_forward(model, params, x, t)
+    kern = make_fused_force_kernel_cl(
+        model, params, 0.015, interpret=True, remat=scope, loop_i=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(kern(x)), np.asarray(ref), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_auto_opts_ranges():
+    from twoforone_tpu.ops.fused_score_cl import auto_opts
+
+    assert auto_opts(5) == {"remat": "energy", "loop_i": False}
+    assert auto_opts(10)["remat"] == "energy"
+    for n in (20, 28, 33, 56):
+        o = auto_opts(n)
+        assert o["remat"] == "row" and o["loop_i"]

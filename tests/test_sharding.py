@@ -58,41 +58,120 @@ def test_sharded_grads_match_single_device(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_sharded_sampling(mesh):
+def test_sharded_sampling_public_api(mesh):
+    """gd.sample(mesh=...) must actually distribute the batch axis (device
+    placement asserted, not just finiteness) and agree with the unsharded
+    chain (same threefry stream — partitionable RNG; differences are only
+    float32 reassociation noise)."""
     gd = _tiny_gd(timesteps=20)
-    params = replicate(gd.init_params(jax.random.PRNGKey(0)), mesh)
-    shape = (16, 10, 3)
+    params = gd.init_params(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(3)
 
-    @jax.jit
-    def sample(params, key):
-        return gd.sample(params, 16, key)
+    ref = np.asarray(gd.make_sample_fn(16)(params, key))
+    fn = gd.make_sample_fn(16, mesh=mesh)
+    out = fn(replicate(params, mesh), key)
 
-    # force the init noise to be sharded: run under mesh-sharded params
-    out = np.asarray(sample(params, key))
-    assert out.shape == shape
-    assert np.all(np.isfinite(out))
+    # real distribution: output lives on all 8 devices, 2 chains per device
+    assert len(out.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(2, 10, 3)}
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
-def test_sharded_langevin_chains(mesh):
+def test_sharded_fused_sampling_shard_map(mesh):
+    """make_fused_sample_fn(mesh=...) fans the Pallas reverse chain out via
+    shard_map: per-device batches, distinct per-device key streams."""
+    gd = _tiny_gd(timesteps=8)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    fn = gd.make_fused_sample_fn(params, 16, interpret=True, mesh=mesh)
+    out = fn(jax.random.PRNGKey(4))
+    assert out.shape == (16, 10, 3)
+    assert len(out.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(2, 10, 3)}
+    arr = np.asarray(out)
+    assert np.all(np.isfinite(arr))
+    # per-device key streams differ -> shards are not copies of each other
+    assert not np.allclose(arr[:2], arr[2:4])
+
+
+def test_sharded_langevin_chains_public_api(mesh):
+    """LangevinSimulation(mesh=...) shards the chain axis through the public
+    API; the trajectory equals the unsharded run bitwise and the carried
+    state is actually distributed."""
     from twoforone_tpu.dynamics.integrators import LangevinSimulation
 
     def force_fn(x):
         return jnp.zeros(x.shape[0]), -x
 
     x0 = np.random.default_rng(2).normal(size=(16, 10, 3)).astype(np.float32)
-    sim = LangevinSimulation(
+    kwargs = dict(
         force_fn=force_fn, initial_coordinates=x0, dt=0.01, beta=1.0,
         friction=None, length=100, save_interval=10, random_seed=0,
     )
-    # shard the chain axis across the mesh before simulating
-    sim._state = (
-        jax.device_put(jnp.asarray(x0), NamedSharding(mesh, P("data", None, None))),
-        None,
-    )
+    ref = LangevinSimulation(**kwargs).simulate()
+
+    sim = LangevinSimulation(**kwargs, mesh=mesh)
     traj = sim.simulate()
     assert traj.shape == (16, 10, 10, 3)
+    np.testing.assert_allclose(traj, ref, atol=1e-6)
+    # the carried integrator state is device-sharded over the chain axis
+    x_state = sim._state[0]
+    assert len(x_state.sharding.device_set) == 8
+    assert {s.data.shape for s in x_state.addressable_shards} == {(2, 10, 3)}
+
+    # chain counts not divisible by the mesh raise a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible by the mesh"):
+        LangevinSimulation(
+            force_fn=force_fn, initial_coordinates=x0[:10], dt=0.01,
+            friction=None, length=100, save_interval=10, mesh=mesh,
+        )
+
+
+def test_sharded_langevin_diffusion_driver(mesh):
+    """LangevinDiffusion(mesh=...) — the production driver path — places its
+    integrator state on the mesh."""
+    from twoforone_tpu.dynamics.langevin import LangevinDiffusion
+
+    gd = _tiny_gd(timesteps=1000)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    init = np.random.default_rng(3).normal(size=(8, 10, 3)).astype(np.float32)
+    init = (init - init.mean(axis=1, keepdims=True)) * gd.norm_factor
+    sampler = LangevinDiffusion(
+        gd, params, init, n_timesteps=20, save_interval=10, t=20,
+        temp_data=340, temp_sim=340, dt=2e-3, masses=[12.0] * 10,
+        friction=1.0, log=False, mesh=mesh,
+    )
+    traj = sampler.sample()
+    assert traj.shape == (16, 10, 3)
     assert np.all(np.isfinite(traj))
+    assert len(sampler.sim._state[0].sharding.device_set) == 8
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """No coordinator configured anywhere -> logged no-op returning False
+    (so launch scripts can pass --multihost unconditionally)."""
+    from twoforone_tpu.parallel.mesh import initialize_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
+    assert initialize_distributed(num_processes=1) is False
+    # jax still single-process and usable afterwards
+    assert jax.process_count() == 1
+
+
+def test_trainer_local_batch_accounting(tmp_path):
+    """Single-process: local batch == global batch; the multihost split
+    plumbing must not perturb the default path."""
+    from tests.test_train import _tiny_trainer
+
+    trainer, _ = _tiny_trainer(tmp_path, "mh_noop")
+    assert trainer.process_count == 1
+    assert trainer.local_batch == trainer.batch_size
 
 
 @pytest.mark.slow  # subprocess re-exec + full compile; the driver runs this

@@ -140,8 +140,19 @@ def main(argv=None):
     eval_folder = Path(samp_args.model_path) / ("main_eval_output" + append)
     eval_folder.mkdir(exist_ok=True, parents=False)
 
+    # Multi-chip fan-out: shard the batch/chain axis over all local devices
+    # (the reference wraps sampling in DataParallel, sample.py:180-186; here
+    # it is a 1D mesh with zero hot-loop collectives).
+    from twoforone_tpu.parallel.mesh import get_mesh, round_to_mesh
+
+    mesh = get_mesh() if len(jax.devices()) > 1 else None
     key = jax.random.PRNGKey(samp_args.seed)
-    batch = samp_args.batch_size_gen
+    batch = round_to_mesh(samp_args.batch_size_gen, mesh)
+    if mesh is not None:
+        n_dev = len(jax.devices())
+        samp_args.parallel_sim = round_to_mesh(samp_args.parallel_sim, mesh)
+        print(f"Sharding over {n_dev} devices "
+              f"(batch {batch}, parallel_sim {samp_args.parallel_sim})")
     # Resolve --fused for iid mode with the same backend gate as the Langevin
     # path (dynamics/langevin.py): "auto" on a CPU host keeps the standard XLA
     # path instead of building a non-interpret Pallas TPU kernel.
@@ -153,10 +164,11 @@ def main(argv=None):
         # ("always" is documented as the head-packed kernel, "cl" forces the
         # chain-lane kernel, "auto" picks per model config).
         kernel = {"always": "packed", "cl": "cl", "auto": "auto"}[fused_mode]
-        fused_fn = gd.make_fused_sample_fn(ema_params, batch, kernel=kernel)
+        fused_fn = gd.make_fused_sample_fn(ema_params, batch, kernel=kernel,
+                                           mesh=mesh)
         driver = lambda b, k: fused_fn(k)
     else:
-        sample_fn = gd.make_sample_fn(batch)
+        sample_fn = gd.make_sample_fn(batch, mesh=mesh)
         driver = lambda b, k: sample_fn(ema_params, k)
 
     if samp_args.gen_mode == "iid":
@@ -195,6 +207,7 @@ def main(argv=None):
             random_seed=samp_args.seed,
             fused=samp_args.fused,
             bf16=samp_args.bf16,
+            mesh=mesh,
         )
         reference_temp = None
         if samp_args.tempering:

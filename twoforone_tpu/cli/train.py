@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", type=_bool, default=False, help="bfloat16 score-net compute")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ala2_train_cap", type=int, default=500000)
+    p.add_argument("--multihost", type=_bool, default=False,
+                   help="join a multi-host JAX job (jax.distributed.initialize;"
+                        " auto-discovers TPU pod slices — docs/MULTIHOST.md)."
+                        " Safe no-op on single-host runs.")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for non-TPU multihost jobs")
+    p.add_argument("--num_processes", type=_optional(int), default=None)
+    p.add_argument("--process_id", type=_optional(int), default=None)
     return p
 
 
@@ -114,6 +122,22 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        # Must run before any other jax API touches the backend.
+        from twoforone_tpu.parallel.mesh import initialize_distributed
+
+        started = initialize_distributed(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        if started:
+            import jax
+
+            print(
+                f"multihost: process {jax.process_index()}/{jax.process_count()},"
+                f" {len(jax.devices())} global devices"
+            )
+        else:
+            print("multihost: no coordinator configured; single-process run")
     cfg = config_from_args(args)
     print(cfg)
 

@@ -117,14 +117,28 @@ def p_sample_loop(
     shape,
     key,
     objective: str = "pred_noise",
+    mesh=None,
 ):
     """Full reverse chain as one lax.scan (reference models/ddpm.py:234-254).
 
     The blow-up guard (clamp to ±1000, models/ddpm.py:248-250) is applied
     unconditionally — a no-op whenever values are in range.
+
+    ``mesh``: optional jax.sharding.Mesh — constrains the batch axis to shard
+    over its devices (threefry is partitionable, so the sharded chain is
+    bitwise-identical to the single-device one). shape[0] must be divisible
+    by the mesh size.
     """
     key, init_key = jax.random.split(key)
     mol = center_zero(jax.random.normal(init_key, shape, dtype=jnp.float32))
+    if mesh is not None:
+        from twoforone_tpu.parallel.mesh import chain_sharding, mesh_size
+
+        if mesh_size(mesh) > 1:
+            assert shape[0] % mesh_size(mesh) == 0, (
+                f"batch {shape[0]} must be divisible by mesh size {mesh_size(mesh)}"
+            )
+            mol = jax.lax.with_sharding_constraint(mol, chain_sharding(mesh))
     b = shape[0]
 
     def step(mol, t_scalar):
@@ -239,19 +253,26 @@ class GaussianDiffusion:
         return loss, {"kl_at_T": kl}
 
     # -- sampling --------------------------------------------------------------
-    def sample(self, params, batch_size: int, key):
-        """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263)."""
+    def sample(self, params, batch_size: int, key, mesh=None):
+        """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263).
+
+        ``mesh`` shards the batch axis over the mesh devices (the TPU
+        equivalent of the reference's DataParallel SamplerWrapper fan-out,
+        sample.py:180-186 / utils.py:201-212)."""
         shape = (batch_size, self.num_atoms, 3)
-        mol = p_sample_loop(self.buffers, self.score_fn(params), shape, key, self.objective)
+        mol = p_sample_loop(
+            self.buffers, self.score_fn(params), shape, key, self.objective,
+            mesh=mesh,
+        )
         return mol * self.norm_factor
 
-    def make_sample_fn(self, batch_size: int):
+    def make_sample_fn(self, batch_size: int, mesh=None):
         """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
-        return jax.jit(lambda params, key: self.sample(params, batch_size, key))
+        return jax.jit(lambda params, key: self.sample(params, batch_size, key, mesh=mesh))
 
     def make_fused_sample_fn(self, params, batch_size: int,
                              block_chains: int = 128, interpret: bool = False,
-                             kernel: str = "auto"):
+                             kernel: str = "auto", mesh=None):
         """Jitted sampling closure using a fused Pallas score kernel
         (conservative models only): (key) -> (batch, N, 3).
 
@@ -262,27 +283,39 @@ class GaussianDiffusion:
         ``kernel``: "cl" = chain-lane (ops/fused_score_cl.py, production edge
         config), "packed" = head-packed (ops/fused_score.py), "auto" = the
         chain-lane kernel whenever the model config supports it.
+
+        ``mesh``: optional jax.sharding.Mesh — runs the chain per-device via
+        shard_map (Pallas kernels are single-device programs; shard_map is
+        the idiomatic fan-out). Each device draws its own key stream (the
+        batch is i.i.d. either way, unlike the bitwise-stable XLA-path mesh
+        sampling in ``sample``). batch_size must divide by the mesh size.
         """
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
+        from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
+
         m = self.model
-        # Same verified-range gate as dynamics/langevin.py: the chain-lane
-        # kernel Mosaic-compiles and wins at N <= 10 (ala2/chignolin); at
-        # trp_cage scale its 4D attention slabs exceed VMEM.
+        # Same verified-range gate as dynamics/langevin.py: auto engages the
+        # chain-lane kernel on the production edge config up to the
+        # TPU-verified bead count (kernel="cl" forces it beyond; per-N kernel
+        # options come from ops/fused_score_cl.auto_opts either way).
         cl_ok = (
             m.conservative and m.use_intrinsic_coords
             and not m.use_abs_coords and not m.use_distances
-            and m.num_beads <= 10
+            and m.num_beads <= VERIFIED_MAX_N
         )
         if kernel == "auto":
             kernel = "cl" if cl_ok else "packed"
         if kernel == "cl":
             from twoforone_tpu.ops.fused_score_cl import (
                 LANE_B,
+                auto_opts,
                 make_fused_force_kernel_cl,
             )
 
-            kern = make_fused_force_kernel_cl(m, params, None, interpret=interpret)
+            kern = make_fused_force_kernel_cl(
+                m, params, None, interpret=interpret, **auto_opts(m.num_beads)
+            )
             block_chains = LANE_B
         else:
             kern = make_fused_force_kernel(
@@ -293,10 +326,33 @@ class GaussianDiffusion:
             xp, b = pad_chains(x, block_chains)
             return kern(xp, t_norm_vec[0])[:b]
 
-        shape = (batch_size, self.num_atoms, 3)
+        from twoforone_tpu.parallel.mesh import mesh_size
 
-        def sample(key):
-            mol = p_sample_loop(self.buffers, score_fn, shape, key, self.objective)
+        n_dev = mesh_size(mesh)
+        if n_dev == 1:
+            shape = (batch_size, self.num_atoms, 3)
+
+            def sample(key):
+                mol = p_sample_loop(self.buffers, score_fn, shape, key, self.objective)
+                return mol * self.norm_factor
+
+            return jax.jit(sample)
+
+        assert batch_size % n_dev == 0, (
+            f"batch {batch_size} must be divisible by mesh size {n_dev}"
+        )
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        local_shape = (batch_size // n_dev, self.num_atoms, 3)
+
+        def sample_local(key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            mol = p_sample_loop(self.buffers, score_fn, local_shape, key, self.objective)
             return mol * self.norm_factor
 
-        return jax.jit(sample)
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+        # annotation, and the body is per-device-independent by construction.
+        fn = jax.shard_map(sample_local, mesh=mesh, in_specs=P(),
+                           out_specs=P(axis), check_vma=False)
+        return jax.jit(fn)

@@ -96,6 +96,12 @@ class LangevinSimulation:
     # Optional per-component force clipping (framework extension): a standard
     # CG-MD stabilizer against rare spikes of learned force fields.
     max_force: Optional[float] = None
+    # Optional jax.sharding.Mesh: shards the chain axis across its devices
+    # (the TPU-native replacement for the reference's DataParallel sampling
+    # fan-out, sample.py:180-186). Chains are independent, so the hot loop
+    # needs no collectives and throughput scales linearly with device count.
+    # n_sims must be divisible by the mesh size.
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         ic = np.asarray(self.initial_coordinates, dtype=np.float32)
@@ -103,6 +109,18 @@ class LangevinSimulation:
             raise ValueError("initial_coordinates shape must be [frames, beads, dimensions]")
         self.n_sims, self.n_beads, self.n_dims = ic.shape
         self._initial_x = ic
+
+        from twoforone_tpu.parallel.mesh import chain_sharding, mesh_size
+
+        self._chain_sharding = None
+        if self.mesh is not None and mesh_size(self.mesh) > 1:
+            if self.n_sims % mesh_size(self.mesh) != 0:
+                raise ValueError(
+                    f"n_sims={self.n_sims} must be divisible by the mesh size "
+                    f"{mesh_size(self.mesh)} (pad the chain count, e.g. "
+                    "parallel.mesh.round_to_mesh)"
+                )
+            self._chain_sharding = chain_sharding(self.mesh)
 
         if self.length % self.save_interval != 0:
             raise ValueError("The save_interval must be a factor of the simulation length")
@@ -175,9 +193,17 @@ class LangevinSimulation:
         self._chunk_fn = None
 
     # ------------------------------------------------------------------ state
+    def _place(self, arr):
+        """Device placement for chain-axis arrays (sharded when mesh given)."""
+        if arr is None:
+            return None
+        if self._chain_sharding is not None:
+            return jax.device_put(jnp.asarray(arr), self._chain_sharding)
+        return jnp.asarray(arr)
+
     def _init_state(self):
-        x = jnp.asarray(self._initial_x)
-        v = jnp.zeros_like(x) if self.friction is not None else None
+        x = self._place(self._initial_x)
+        v = self._place(np.zeros_like(self._initial_x)) if self.friction is not None else None
         return x, v
 
     @property
@@ -194,11 +220,7 @@ class LangevinSimulation:
         }
 
     def load_state(self, state: dict):
-        v = state["v"]
-        self._state = (
-            jnp.asarray(state["x"]),
-            None if v is None else jnp.asarray(v),
-        )
+        self._state = (self._place(state["x"]), self._place(state["v"]))
         self._t = int(state["t"])
         self._key = jnp.asarray(state["key"])
 

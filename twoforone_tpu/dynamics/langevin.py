@@ -76,24 +76,31 @@ def make_diffusion_force_fn(
     if fused == "auto":
         import jax
 
+        from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
+
         if jax.default_backend() in ("cpu",):
             mode = "never"
-        # Verified-win regime: the chain-lane kernel is 2-2.7x the XLA path
-        # and numerically validated at ala2 (N=5) / chignolin (N=10) scale.
-        # At trp_cage scale (N=20, nf=128) the 4D attention slabs blow the
-        # 128MB VMEM budget and Mosaic compilation fails (docs/PERF_NOTES.md
-        # "Large-N status"), so auto only engages in the verified range;
-        # force with fused="cl" to experiment.
-        elif _cl_supported() and diffusion.model.num_beads <= 10:
+        # Verified-win regime: the chain-lane kernel is 2-2.7x the XLA path;
+        # per-N kernel options (4D slabs + whole-energy remat at N <= 10,
+        # loop-over-i + hierarchical remat beyond — docs/PERF_NOTES.md) come
+        # from ops/fused_score_cl.auto_opts, and auto engages only up to the
+        # TPU-verified bead count; force with fused="cl" to experiment.
+        elif _cl_supported() and diffusion.model.num_beads <= VERIFIED_MAX_N:
             mode = "cl"
         else:
             mode = "never"
 
     if mode == "cl":
         from twoforone_tpu.ops.fused_score import pad_chains
-        from twoforone_tpu.ops.fused_score_cl import LANE_B, make_fused_force_kernel_cl
+        from twoforone_tpu.ops.fused_score_cl import (
+            LANE_B,
+            auto_opts,
+            make_fused_force_kernel_cl,
+        )
 
-        kernel = make_fused_force_kernel_cl(model, params, t_norm)
+        kernel = make_fused_force_kernel_cl(
+            model, params, t_norm, **auto_opts(model.num_beads)
+        )
 
         def force_fn(x):
             b = x.shape[0]
@@ -144,6 +151,11 @@ class LangevinDiffusion:
     initial coordinates, converts the score into forces with consistent units,
     auto-derives dt when not given, runs BAOA(F)B, and rescales the saved
     trajectory back to data units.
+
+    ``mesh``: optional jax.sharding.Mesh — shards the chain axis over its
+    devices for multi-chip simulation (the reference's DataParallel fan-out,
+    sample.py:180-186, done the TPU way: zero collectives in the hot loop).
+    The number of chains must be divisible by the mesh size.
     """
 
     def __init__(
@@ -168,6 +180,7 @@ class LangevinDiffusion:
         bf16: bool = False,
         restraint_k: float = 0.0,
         max_force: Optional[float] = None,
+        mesh=None,
     ):
         self.norm_factor = float(diffusion.norm_factor)
         init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
@@ -220,6 +233,7 @@ class LangevinDiffusion:
             steps_per_chunk=steps_per_chunk,
             restraint_k=restraint_k,
             max_force=max_force,
+            mesh=mesh,
         )
 
         if log:

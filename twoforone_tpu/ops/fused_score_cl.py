@@ -119,8 +119,30 @@ def _ln_cols(h2d, scale, bias, eps=1e-5):
     return (h2d - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _remat(f):
+    """Manual rematerialization: recompute ``f``'s forward inside its VJP so
+    no interior residuals survive into the caller's backward pass.
+    jax.checkpoint's remat2 primitive has no Mosaic lowering, hence the
+    custom_vjp formulation (resolved at trace time — the final jaxpr holds
+    only plain ops)."""
+
+    @jax.custom_vjp
+    def g(*args):
+        return f(*args)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(f, *res)
+        return vjp(ct)
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
 def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
-                       loop_i: bool = False):
+                       loop_i: bool = False, remat_scope: str = None):
     """Energy sum for one chain block. x_cl: (3, N, B) centered coords.
 
     ``loop_i`` replaces the 4D ``(dh, N_i, N_j, B)`` broadcast-reduce
@@ -128,6 +150,17 @@ def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
     ``(dh, N_j, B)`` slabs — N_i-fold smaller live sets, for bead counts
     where the 4D form exceeds Mosaic's VMEM stack (N >= ~20; see
     docs/PERF_NOTES.md "Large-N status").
+
+    ``remat_scope`` sets the granularity of the in-kernel manual remat for
+    the ``jax.grad`` backward (Mosaic's stack allocator does not reuse
+    buffers across the unrolled fwd+bwd, so residual live-sets are the VMEM
+    bound): "layer" recomputes each transformer layer in its backward,
+    "head" additionally recomputes each attention head inside the layer
+    backward, "row" (requires ``loop_i``) additionally recomputes each
+    attention i-row inside the head backward — the live set shrinks from
+    all-layers-all-heads to roughly one (layer projections + head slabs +
+    i-row) at a time. None = no interior remat (the caller may still wrap
+    the whole energy, the round-2 "energy" scope).
     """
     heads, dh = model.heads, model.dim_head
     inner = heads * dh
@@ -136,12 +169,78 @@ def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
     nb = n * b
     scale = dh**-0.5
     cast = lambda a: a.astype(compute_dtype)
+    if remat_scope == "row":
+        assert loop_i, "row-scope remat is defined over the loop_i formulation"
+    remat_layer = remat_scope in ("layer", "head", "row")
+    remat_head = remat_scope in ("head", "row")
+    remat_row = remat_scope == "row"
 
-    x3 = x_cl  # (3, N, B)
-    x2 = x3.reshape(3, nb)
+    def row_fn(q_i, qkd_i, qb_i, qxd_i, x_i, kh3, vh3, x3):
+        """One attention i-row: q_i (dh,1,B), qkd_i (3,1,B), qb_i/qxd_i (1,B),
+        x_i (3,B) vs all-j tensors kh3/vh3 (dh,N,B), x3 (3,N,B)."""
+        sim_i = jnp.sum(q_i * kh3, axis=0)  # (Nj, B)
+        sim_i = sim_i + qb_i
+        sim_i = sim_i + jnp.sum(qkd_i * x3, axis=0)
+        sim_i = sim_i - qxd_i
+        attn_i = jax.nn.softmax(scale * sim_i, axis=0)  # over j
+        out_i = jnp.sum(attn_i[None] * vh3, axis=1)  # (dh, B)
+        fdiff_i = jnp.sum(attn_i[None] * x3, axis=1) - x_i  # (3, B)
+        return out_i, fdiff_i
 
-    h = aug["h0"] + t_val * aug["w_t"]  # (C, NB)
-    for d in aug["layers"]:
+    if remat_row:
+        row_fn = _remat(row_fn)
+
+    def head_fn(qh, kh, vh, x3, kd, bc):
+        """One attention head: qh/kh/vh (dh, NB) + coords -> out (dh, NB),
+        fdiff (3, NB). The geometric q-projections (q.b_comb, q.K_diff) are
+        computed inside so the head residual set is only its inputs."""
+        kh3 = kh.reshape(dh, n, b)
+        vh3 = vh.reshape(dh, n, b)
+        qh3 = qh.reshape(dh, n, b)
+
+        qb = _mm(cast(bc), qh).reshape(n, b)  # q . b_comb
+        q_kd = _mm(cast(kd), qh).reshape(3, n, b)  # (3, N, B)
+        qkd_x_diag = jnp.sum(q_kd * x3, axis=0)  # (N, B)
+
+        if loop_i:
+            # 3D slabs only: one i-row of the attention at a time.
+            out_cols = []
+            fdiff_cols = []
+            for i in range(n):
+                out_i, fdiff_i = row_fn(
+                    qh3[:, i : i + 1, :],
+                    q_kd[:, i : i + 1, :],
+                    qb[i][None, :],
+                    qkd_x_diag[i][None, :],
+                    x3[:, i, :],
+                    kh3,
+                    vh3,
+                    x3,
+                )
+                out_cols.append(out_i)
+                fdiff_cols.append(fdiff_i)
+            out_h = jnp.stack(out_cols, axis=1)  # (dh, N, B)
+            fdiff = jnp.stack(fdiff_cols, axis=1)  # (3, N, B)
+        else:
+            # sim[i, j, b] = sum_d q[d,i,b] k[d,j,b]  (+ geometric terms)
+            sim = jnp.sum(qh3[:, :, None, :] * kh3[:, None, :, :], axis=0)
+            sim = sim + qb[:, None, :]
+            sim = sim + jnp.sum(q_kd[:, :, None, :] * x3[:, None, :, :], axis=0)
+            sim = sim - qkd_x_diag[:, None, :]
+
+            attn = jax.nn.softmax(scale * sim, axis=1)  # over j
+
+            # out[d, i, b] = sum_j attn[i,j,b] v[d,j,b]
+            out_h = jnp.sum(attn[None, :, :, :] * vh3[:, None, :, :], axis=2)
+            # fdiff[c, i, b] = sum_j attn[i,j,b] x[c,j,b] - x[c,i,b]
+            fdiff = jnp.sum(attn[None, :, :, :] * x3[:, None, :, :], axis=2) - x3
+
+        return out_h.reshape(dh, nb), fdiff.reshape(3, nb)
+
+    if remat_head:
+        head_fn = _remat(head_fn)
+
+    def layer_fn(h, x3, d):
         h_ln = cast(_ln_cols(h, d["ln1_s"], d["ln1_b"]))
         q2 = _mm(cast(d["wqT"]), h_ln) + d["bq"]  # (inner, NB)
         kv2 = _mm(cast(d["wkvT"]), h_ln) + d["bkv"]
@@ -151,49 +250,11 @@ def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
         fd_acc = None
         for hh in range(heads):
             sl = slice(hh * dh, (hh + 1) * dh)
-            qh = q2[sl]  # (dh, NB)
-            kh3 = k2[sl].reshape(dh, n, b)
-            vh3 = v2[sl].reshape(dh, n, b)
-            qh3 = qh.reshape(dh, n, b)
-
-            qb = _mm(cast(d["bc_h"][hh]), qh).reshape(n, b)  # q . b_comb
-            q_kd = _mm(cast(d["kd_h"][hh]), qh).reshape(3, n, b)  # (3, N, B)
-            qkd_x_diag = jnp.sum(q_kd * x3, axis=0)  # (N, B)
-
-            if loop_i:
-                # 3D slabs only: one i-row of the attention at a time.
-                out_cols = []
-                fdiff_cols = []
-                for i in range(n):
-                    sim_i = jnp.sum(qh3[:, i : i + 1, :] * kh3, axis=0)  # (Nj, B)
-                    sim_i = sim_i + qb[i][None, :]
-                    sim_i = sim_i + jnp.sum(
-                        q_kd[:, i : i + 1, :] * x3, axis=0
-                    )
-                    sim_i = sim_i - qkd_x_diag[i][None, :]
-                    attn_i = jax.nn.softmax(scale * sim_i, axis=0)  # over j
-                    out_cols.append(jnp.sum(attn_i[None] * vh3, axis=1))  # (dh, B)
-                    fdiff_cols.append(
-                        jnp.sum(attn_i[None] * x3, axis=1) - x3[:, i, :]
-                    )  # (3, B)
-                out_h = jnp.stack(out_cols, axis=1)  # (dh, N, B)
-                fdiff = jnp.stack(fdiff_cols, axis=1)  # (3, N, B)
-            else:
-                # sim[i, j, b] = sum_d q[d,i,b] k[d,j,b]  (+ geometric terms)
-                sim = jnp.sum(qh3[:, :, None, :] * kh3[:, None, :, :], axis=0)
-                sim = sim + qb[:, None, :]
-                sim = sim + jnp.sum(q_kd[:, :, None, :] * x3[:, None, :, :], axis=0)
-                sim = sim - qkd_x_diag[:, None, :]
-
-                attn = jax.nn.softmax(scale * sim, axis=1)  # over j
-
-                # out[d, i, b] = sum_j attn[i,j,b] v[d,j,b]
-                out_h = jnp.sum(attn[None, :, :, :] * vh3[:, None, :, :], axis=2)
-                # fdiff[c, i, b] = sum_j attn[i,j,b] x[c,j,b] - x[c,i,b]
-                fdiff = jnp.sum(attn[None, :, :, :] * x3[:, None, :, :], axis=2) - x3
-
-            out_rows.append(out_h.reshape(dh, nb))
-            md = _mm(cast(d["mdT_h"][hh]), cast(fdiff.reshape(3, nb)))  # (C, NB)
+            out_h, fdiff = head_fn(
+                q2[sl], k2[sl], v2[sl], x3, d["kd_h"][hh], d["bc_h"][hh]
+            )
+            out_rows.append(out_h)
+            md = _mm(cast(d["mdT_h"][hh]), cast(fdiff))  # (C, NB)
             fd_acc = md if fd_acc is None else fd_acc + md
 
         out_full = jnp.concatenate(out_rows, axis=0)  # (inner, NB)
@@ -210,9 +271,39 @@ def _energy_forward_cl(x_cl, aug, model, t_val, compute_dtype=jnp.float32,
         gate_in = jnp.concatenate([ff, h, ff - h], axis=0)
         gate = jax.nn.sigmoid(_mm(cast(d["gate2T"]), cast(gate_in)))
         h = ff * gate + h * (1.0 - gate)
+        return h
+
+    if remat_layer:
+        layer_fn = _remat(layer_fn)
+
+    x3 = x_cl  # (3, N, B)
+    h = aug["h0"] + t_val * aug["w_t"]  # (C, NB)
+    for d in aug["layers"]:
+        h = layer_fn(h, x3, d)
 
     energy = _mm(cast(aug["decT"]), cast(h)) + aug["dec_b"]  # (1, NB)
     return jnp.sum(energy)
+
+
+# Largest bead count at which the chain-lane kernel has been verified to
+# Mosaic-compile on real TPU hardware and match the XLA path (the auto
+# gates in dynamics/langevin.py and core/diffusion.py consult this; forcing
+# fused="cl" bypasses it). Updated as verification extends.
+VERIFIED_MAX_N = 10
+
+
+def auto_opts(num_beads: int) -> dict:
+    """Verified kernel options per bead count (docs/PERF_NOTES.md).
+
+    N <= 10 (ala2, chignolin): the round-2 configuration — 4D attention
+    slabs, whole-energy remat — compiles and wins. Larger N (trp_cage 20,
+    bba 28, villin 33, protein_g 56): the 4D slabs blow the 128MB VMEM
+    budget, so the loop-over-i formulation with row-scope hierarchical
+    remat is used (layer+head+row recompute bounds the backward live set).
+    """
+    if num_beads <= 10:
+        return {"remat": "energy", "loop_i": False}
+    return {"remat": "row", "loop_i": True}
 
 
 def make_fused_force_kernel_cl(
@@ -220,7 +311,7 @@ def make_fused_force_kernel_cl(
     params,
     t_norm: float = None,
     interpret: bool = False,
-    remat: bool = True,
+    remat=True,
     vmem_limit_mb: int = 100,
     loop_i: bool = False,
 ) -> Callable:
@@ -230,12 +321,27 @@ def make_fused_force_kernel_cl(
 
     Returns ``x -> eps_hat`` on (B, N, 3) arrays (B a multiple of 128) for
     fixed ``t_norm``, or ``(x, t) -> eps_hat`` when ``t_norm`` is None.
+
+    ``remat`` sets the manual-remat granularity for the in-kernel backward:
+    False = none, True or "energy" = recompute the whole forward in the
+    backward (round-2 behavior, best for N <= 10), "layer"/"head"/"row" =
+    hierarchical recompute at the given scope (see ``_energy_forward_cl``;
+    "row" requires/implies ``loop_i``). Use :func:`auto_opts` for the
+    verified per-N configuration.
     """
     assert model.conservative, "fused kernel implements the conservative path"
     assert model.use_intrinsic_coords and not model.use_abs_coords and not model.use_distances, (
         "chain-lane kernel covers the production edge config; "
         "use ops.fused_score for other configurations"
     )
+    if remat is True:
+        remat = "energy"
+    elif remat is False:
+        remat = None
+    if remat == "row":
+        loop_i = True
+    inner_scope = remat if remat in ("layer", "head", "row") else None
+
     aug = _augment_params_cl(model, params)
     n = model.num_beads
     # expand the constant node embedding across the chain lanes: (C, N*B)
@@ -249,24 +355,12 @@ def make_fused_force_kernel_cl(
 
     def energy_of(xc, leaves, t_val):
         aug_t = jax.tree_util.tree_unflatten(treedef, leaves)
-        f = lambda xi: _energy_forward_cl(xi, aug_t, model, t_val, loop_i=loop_i)
-        if not remat:
+        f = lambda xi: _energy_forward_cl(
+            xi, aug_t, model, t_val, loop_i=loop_i, remat_scope=inner_scope
+        )
+        if remat != "energy":
             return f(xc)
-
-        @jax.custom_vjp
-        def g(xi):
-            return f(xi)
-
-        def fwd(xi):
-            return f(xi), (xi,)
-
-        def bwd(res, ct):
-            (xi,) = res
-            _, vjp = jax.vjp(f, xi)
-            return vjp(ct)
-
-        g.defvjp(fwd, bwd)
-        return g(xc)
+        return _remat(f)(xc)
 
     def kernel(*refs):
         if runtime_t:

@@ -88,6 +88,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else get_mesh()
         n_dev = int(np.prod(self.mesh.devices.shape))
         self.batch_size = config.batch_size - (config.batch_size % n_dev)
+        # Multi-host: batch_size is GLOBAL; each process draws its local
+        # share with a process-offset shuffle seed, and shard_batch stitches
+        # the local pieces into one global array (parallel/mesh.py).
+        self.process_count = jax.process_count()
+        assert self.batch_size % self.process_count == 0
+        self.local_batch = self.batch_size // self.process_count
         self.grad_accum = max(1, int(getattr(config, "gradient_accumulate_every", 1) or 1))
         self.train_num_steps = config.train_iter
         self.eval_interval = config.eval_interval
@@ -162,7 +168,9 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_chunk = jax.jit(self._train_chunk_impl, donate_argnums=(0,))
         self._eval_loss_step = jax.jit(self._eval_loss_impl)
-        self._sample_fn = self.gd.make_sample_fn(self.batch_size)
+        # Sampling shards its batch axis over the same mesh as training
+        # (the reference wraps sampling in DataParallel too, trainer.py:78-80).
+        self._sample_fn = self.gd.make_sample_fn(self.batch_size, mesh=self.mesh)
 
         if config.start_from_last_saved:
             if checkpoint_exists(self.results_folder, "last"):
@@ -244,7 +252,10 @@ class Trainer:
     def eval_loss(self, data: np.ndarray, val_iters: int, key,
                   partition_name: str = "val") -> float:
         print(f"val iters {val_iters}")
-        it = batch_iterator(data, self.batch_size, seed=int(key[-1]) % (2**31))
+        it = batch_iterator(
+            data, self.local_batch,
+            seed=(int(key[-1]) + 7919 * jax.process_index()) % (2**31),
+        )
         total = 0.0
         for _ in range(val_iters):
             key, sub = jax.random.split(key)
@@ -258,8 +269,18 @@ class Trainer:
 
     def sample(self, num_samples: int, key=None) -> np.ndarray:
         """Sample from the EMA model (all eval/sampling uses EMA,
-        reference trainer.py:71, sample.py:154-167)."""
-        fn = lambda b, k: self._sample_fn(self.state.ema_params, k)
+        reference trainer.py:71, sample.py:154-167). The batch axis is
+        sharded over the trainer's mesh; on multi-host jobs every process
+        gathers the full sample set for evaluation."""
+
+        def fn(b, k):
+            out = self._sample_fn(self.state.ema_params, k)
+            if self.process_count > 1:
+                from jax.experimental import multihost_utils
+
+                out = multihost_utils.process_allgather(out, tiled=True)
+            return out
+
         return sample_from_model(fn, num_samples, self.batch_size, key=key)
 
     def save(self, milestone, save_best: bool = False):
@@ -299,7 +320,10 @@ class Trainer:
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed + 1)
         data = np.asarray(self.train_data.data)
-        it = batch_iterator(data, self.batch_size, seed=cfg.seed)
+        it = batch_iterator(
+            data, self.local_batch,
+            seed=cfg.seed + 7919 * jax.process_index(),
+        )
         val_iters = max(1, int(cfg.iterations_on_val * max(1, len(self.val_data) // self.batch_size)))
 
         early_stopping_counter = 0
