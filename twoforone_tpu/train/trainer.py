@@ -330,17 +330,19 @@ class Trainer:
         step = int(self.state.step)
         t_start = time.time()
         profiling = False
+        profiled = False
         while step < self.train_num_steps:
             if getattr(cfg, "profile_steps", 0) > 0:
                 # Trace a window of steady-state steps (skip compile warmup).
-                if step == 10 and not profiling:
+                if step >= 10 and not profiling and not profiled:
                     jax.profiler.start_trace(
                         os.path.join(cfg.tensorboard_folder, "profile")
                     )
                     profiling = True
-                elif profiling and step == 10 + cfg.profile_steps:
+                elif profiling and step >= 10 + cfg.profile_steps:
                     jax.profiler.stop_trace()
                     profiling = False
+                    profiled = True
             key, step_key = jax.random.split(key)
             # Clamp the final chunk so chunked training stops exactly at
             # train_num_steps even when it is not a multiple of the chunk
@@ -364,9 +366,15 @@ class Trainer:
                 micro = np.stack([next(it) for _ in range(self.grad_accum)])
                 batch = shard_batch(micro, self.mesh, batch_axis=1)
                 self.state, metrics = self._train_step(self.state, batch, step_key)
-            step = int(self.state.step)
+            # Count steps on the host instead of fetching state.step: an
+            # int()/float() on the async result would block until the chunk
+            # finishes, serializing host batch assembly with device compute
+            # (the round-2 dispatch gap, 70 vs 89 steps/s). Metrics are
+            # fetched only at log boundaries; the on-device running-max KL
+            # means no step escapes the invariant check.
+            step += chunk
 
-            if self.chunk > 1 or step % self.log_interval == 0:
+            if step % self.log_interval < chunk or step >= self.train_num_steps:
                 loss = float(metrics["loss"])
                 # Running max over ALL steps since start — raising the log
                 # interval cannot skip any step's KL-at-T invariant.
@@ -376,7 +384,7 @@ class Trainer:
                 )
                 if self.writer is not None:
                     self.writer.add_scalar("Loss", loss, step)
-                if step % (self.log_interval * 100) == 0 or step <= self.log_interval:
+                if step % (self.log_interval * 100) < chunk or step <= self.log_interval:
                     rate = step / max(time.time() - t_start, 1e-9)
                     print(f"step {step}/{self.train_num_steps} loss {loss:.4f} ({rate:.1f} it/s)")
 
