@@ -96,6 +96,30 @@ def bench_iid(gd, params, batch=4096):
     return batch / elapsed
 
 
+def _load_trained_params(gd):
+    """EMA weights of the chain10 production control, when staged
+    (scripts/chain10_control.py) — so the benchmarked configuration is one
+    that also produced validated physics (TIC-JS in assets/trained/chain10/
+    results.json). Falls back to random init (identical cost) otherwise."""
+    import jax
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "twoforone_tpu", "assets", "trained", "chain10",
+    )
+    if not os.path.exists(os.path.join(path, "model-best.msgpack")):
+        return None
+    from flax import serialization
+
+    from twoforone_tpu.utils.checkpoint import load_checkpoint
+
+    template = {"ema_params": gd.init_params(jax.random.PRNGKey(0))}
+    state = load_checkpoint(path, "best", None)
+    return serialization.from_state_dict(
+        template["ema_params"], state["ema_params"]
+    )
+
+
 def main():
     import jax
 
@@ -106,7 +130,10 @@ def main():
     from __graft_entry__ import _flagship
 
     model, gd = _flagship()  # chignolin shipped config
-    params = gd.init_params(jax.random.PRNGKey(0))
+    params = _load_trained_params(gd)
+    params_kind = "trained_chain10" if params is not None else "random_init"
+    if params is None:
+        params = gd.init_params(jax.random.PRNGKey(0))
     base = _baselines()
 
     def ratio(value, key):
@@ -129,6 +156,7 @@ def main():
             sps_1000, "langevin_steps_per_sec_cpu_torch_parallel1000"
         ),
         "extra": {
+            "params": params_kind,
             "langevin_steps_per_sec_chip_chignolin_parallel100": {
                 "value": round(sps_100, 2),
                 "unit": "steps/s",

@@ -74,6 +74,7 @@ def run_one(mol: str, b: int = 128):
         auto_opts,
         make_fused_force_kernel_cl,
     )
+    from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
 
     n, nf, layers = CONFIGS[mol]
     model = GraphTransformer(
@@ -90,30 +91,39 @@ def run_one(mol: str, b: int = 128):
     x = np.asarray(rng.normal(size=(b, n, 3)), np.float32) * 3.0
     x = x - x.mean(axis=1, keepdims=True)
 
-    opts = auto_opts(n)
+    # fused path under test: the mega-kernel in its verified N<=10 range,
+    # the attention-core clx path beyond (docs/PERF_NOTES.md "Round 3").
+    if n <= 10:
+        opts = auto_opts(n)
+        path = f"cl[{opts['remat']}]"
+        build = lambda: make_fused_force_kernel_cl(model, params, t_norm, **opts)
+    else:
+        path = "clx"
+        build = lambda: make_clx_force_fn(model, params, t_norm)
+
     t0 = time.perf_counter()
-    kern = make_fused_force_kernel_cl(model, params, t_norm, **opts)
-    out_cl = np.asarray(kern(x))
+    kern = jax.jit(build())
+    out_f = np.asarray(kern(x))
     compile_s = time.perf_counter() - t0
 
     fn = make_score_fn(model, params)
     tt = np.full((b,), t_norm, np.float32)
     ref = np.asarray(jax.jit(lambda xx: fn(xx, tt))(x))
-    err = np.abs(out_cl - ref)
+    err = np.abs(out_f - ref)
     scale = float(np.abs(ref).mean())
 
-    per_cl = time_chain(kern, x)
+    per_f = time_chain(kern, x)
     per_xla = time_chain(lambda xx: fn(xx, tt), x)
 
     print(json.dumps({
-        "mol": mol, "beads": n, "nf": nf, "opts": opts, "batch": b,
+        "mol": mol, "beads": n, "nf": nf, "path": path, "batch": b,
         "compile_s": round(compile_s, 1),
         "err_typ": round(float(err.mean()), 4),
         "err_max": round(float(err.max()), 3),
         "force_scale": round(scale, 2),
-        "cl_us": round(per_cl * 1e6, 1),
+        "fused_us": round(per_f * 1e6, 1),
         "xla_us": round(per_xla * 1e6, 1),
-        "speedup": round(per_xla / per_cl, 2),
+        "speedup": round(per_xla / per_f, 2),
     }), flush=True)
 
 

@@ -98,7 +98,8 @@ def test_pad_chains():
 
 
 @pytest.mark.parametrize(
-    "kernel", ["packed", pytest.param("cl", marks=pytest.mark.slow)]
+    "kernel", ["packed", pytest.param("cl", marks=pytest.mark.slow),
+               pytest.param("clx", marks=pytest.mark.slow)]
 )
 def test_fused_sampling_matches_standard(kernel):
     """Reverse-chain sampling through the runtime-t fused kernels must match
@@ -171,6 +172,66 @@ def test_chain_lane_hierarchical_remat_matches_xla(scope):
     )
 
 
+def test_cl_attention_core_fwd_and_hand_vjp():
+    """The chain-lane attention core kernel (fori_loop rows, hand-written
+    VJP) must match the pure-jnp oracle in value AND in every gradient."""
+    from twoforone_tpu.ops.attention_cl_core import (
+        cl_attention_reference,
+        make_cl_attention_core,
+    )
+
+    H, dh, N, B = 3, 8, 20, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (H, dh, N, B))
+    k = jax.random.normal(ks[1], (H, dh, N, B))
+    v = jax.random.normal(ks[2], (H, dh, N, B))
+    x = jax.random.normal(ks[3], (3, N, B)) * 2
+    qb = jax.random.normal(ks[4], (H, N, B))
+    qkd = jax.random.normal(ks[5], (H, 3, N, B)) * 0.3
+
+    core = make_cl_attention_core(H, dh, N, interpret=True)
+    out, fd = core(q, k, v, x, qb, qkd)
+    out_r, fd_r = cl_attention_reference(q, k, v, x, qb, qkd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_r), atol=1e-5)
+
+    def loss(f):
+        def inner(*a):
+            o, fdif = f(*a)
+            return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(fdif) * 0.7)
+
+        return inner
+
+    g1 = jax.grad(loss(core), argnums=tuple(range(6)))(q, k, v, x, qb, qkd)
+    g2 = jax.grad(loss(cl_attention_reference), argnums=tuple(range(6)))(
+        q, k, v, x, qb, qkd
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_beads", [10, pytest.param(20, marks=pytest.mark.slow)])
+def test_clx_force_fn_matches_xla(n_beads):
+    """The large-N clx path (XLA chain-lane layout + Pallas attention core)
+    must match score_forward for fixed and runtime t, including non-128
+    batch padding."""
+    from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
+
+    model, params = _setup(
+        intrinsic=True, distances=False, n_beads=n_beads, hidden=16, layers=2
+    )
+    x = jax.random.normal(jax.random.PRNGKey(7), (130, n_beads, 3)) * 2.0
+    x = x - x.mean(axis=1, keepdims=True)
+    t = jnp.full((130,), 0.02)
+    ref = score_forward(model, params, x, t)
+    fn = make_clx_force_fn(model, params, 0.02, interpret=True)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref), atol=5e-4,
+                               rtol=1e-3)
+    fn_rt = make_clx_force_fn(model, params, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(fn_rt(x, 0.02)), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_auto_opts_ranges():
     from twoforone_tpu.ops.fused_score_cl import auto_opts
 
@@ -179,3 +240,38 @@ def test_auto_opts_ranges():
     for n in (20, 28, 33, 56):
         o = auto_opts(n)
         assert o["remat"] == "row" and o["loop_i"]
+
+
+def test_fused_auto_mode_selection(monkeypatch):
+    """make_diffusion_force_fn's auto gate: cl mega-kernel at N<=10,
+    clx from the measured chain-count crossover, plain XLA otherwise.
+    (Resolution logic only — numerics are covered by the parity tests.)"""
+    import twoforone_tpu.dynamics.langevin as lv
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+
+    calls = []
+    monkeypatch.setattr(
+        "twoforone_tpu.ops.fused_score_cl.make_fused_force_kernel_cl",
+        lambda *a, **k: calls.append("cl") or (lambda x: x),
+    )
+    monkeypatch.setattr(
+        "twoforone_tpu.ops.fused_score_clx.make_clx_force_fn",
+        lambda *a, **k: calls.append("clx") or (lambda x: x),
+    )
+    monkeypatch.setattr(
+        "jax.default_backend", lambda: "tpu"
+    )
+
+    def gate(n_beads, n_chains):
+        calls.clear()
+        model, params = _setup(n_beads=n_beads, hidden=16, layers=1)
+        gd = GaussianDiffusion(model=model, num_atoms=n_beads, timesteps=100,
+                               norm_factor=1.0, loss_weights="ones")
+        lv.make_diffusion_force_fn(gd, params, 20, kbt_inv=1.0, fused="auto",
+                                   n_chains=n_chains)
+        return calls[0] if calls else "xla"
+
+    assert gate(10, 100) == "cl"
+    assert gate(20, 1024) == "clx"
+    assert gate(20, 100) == "xla"  # below the measured clx crossover
+    assert gate(20, None) == "xla"

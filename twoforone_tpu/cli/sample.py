@@ -58,8 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 score-net compute in the Langevin loop "
                         "(~1.4x; physics-validated, docs/PERF_NOTES.md)")
     p.add_argument("--fused", type=str, default="never",
-                   help="fused Pallas force kernel: never | auto | cl | always "
-                        "(long one-time compile, persistently cached)")
+                   help="fused Pallas force path: never | auto | cl | clx | "
+                        "always (cl = N<=10 mega-kernel, clx = large-N "
+                        "attention-core path; compiles cached persistently)")
     return p
 
 
@@ -163,7 +164,8 @@ def main(argv=None):
         # Fused Pallas reverse chain; forward the flag to the kernel choice
         # ("always" is documented as the head-packed kernel, "cl" forces the
         # chain-lane kernel, "auto" picks per model config).
-        kernel = {"always": "packed", "cl": "cl", "auto": "auto"}[fused_mode]
+        kernel = {"always": "packed", "cl": "cl", "clx": "clx",
+                  "auto": "auto"}[fused_mode]
         fused_fn = gd.make_fused_sample_fn(ema_params, batch, kernel=kernel,
                                            mesh=mesh)
         driver = lambda b, k: fused_fn(k)

@@ -280,9 +280,11 @@ class GaussianDiffusion:
         matrices are precomputed host-side), so unlike make_sample_fn this
         binds params once — the right trade for inference/serving.
 
-        ``kernel``: "cl" = chain-lane (ops/fused_score_cl.py, production edge
-        config), "packed" = head-packed (ops/fused_score.py), "auto" = the
-        chain-lane kernel whenever the model config supports it.
+        ``kernel``: "cl" = chain-lane mega-kernel (ops/fused_score_cl.py,
+        N <= 10 regime), "clx" = chain-lane attention-core path for larger
+        proteins (ops/fused_score_clx.py), "packed" = head-packed
+        (ops/fused_score.py), "auto" = the measured-best chain-lane path
+        whenever the model config supports one.
 
         ``mesh``: optional jax.sharding.Mesh — runs the chain per-device via
         shard_map (Pallas kernels are single-device programs; shard_map is
@@ -295,36 +297,51 @@ class GaussianDiffusion:
         from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
 
         m = self.model
-        # Same verified-range gate as dynamics/langevin.py: auto engages the
-        # chain-lane kernel on the production edge config up to the
-        # TPU-verified bead count (kernel="cl" forces it beyond; per-N kernel
-        # options come from ops/fused_score_cl.auto_opts either way).
-        cl_ok = (
+        # Same gating as dynamics/langevin.py: the mega-kernel in its
+        # verified N <= 10 range, the attention-core clx path beyond (iid
+        # sampling batches are large, so clx is in its measured win regime);
+        # the packed kernel covers non-production edge configs.
+        cl_supported = (
             m.conservative and m.use_intrinsic_coords
             and not m.use_abs_coords and not m.use_distances
-            and m.num_beads <= VERIFIED_MAX_N
         )
         if kernel == "auto":
-            kernel = "cl" if cl_ok else "packed"
-        if kernel == "cl":
-            from twoforone_tpu.ops.fused_score_cl import (
-                LANE_B,
-                auto_opts,
-                make_fused_force_kernel_cl,
-            )
+            if cl_supported and m.num_beads <= VERIFIED_MAX_N:
+                kernel = "cl"
+            elif cl_supported:
+                kernel = "clx"
+            else:
+                kernel = "packed"
+        if kernel == "clx":
+            from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
 
-            kern = make_fused_force_kernel_cl(
-                m, params, None, interpret=interpret, **auto_opts(m.num_beads)
-            )
-            block_chains = LANE_B
+            clx = make_clx_force_fn(m, params, None, interpret=interpret)
+
+            def score_fn(x, t_norm_vec):
+                return clx(x, t_norm_vec[0])
+
         else:
-            kern = make_fused_force_kernel(
-                m, params, None, block_chains=block_chains, interpret=interpret
-            )
+            if kernel == "cl":
+                from twoforone_tpu.ops.fused_score_cl import (
+                    LANE_B,
+                    auto_opts,
+                    make_fused_force_kernel_cl,
+                )
 
-        def score_fn(x, t_norm_vec):
-            xp, b = pad_chains(x, block_chains)
-            return kern(xp, t_norm_vec[0])[:b]
+                kern = make_fused_force_kernel_cl(
+                    m, params, None, interpret=interpret,
+                    **auto_opts(m.num_beads)
+                )
+                block_chains = LANE_B
+            else:
+                kern = make_fused_force_kernel(
+                    m, params, None, block_chains=block_chains,
+                    interpret=interpret
+                )
+
+            def score_fn(x, t_norm_vec):
+                xp, b = pad_chains(x, block_chains)
+                return kern(xp, t_norm_vec[0])[:b]
 
         from twoforone_tpu.parallel.mesh import mesh_size
 

@@ -95,6 +95,141 @@ def build_chain(bonds: np.ndarray, angles: np.ndarray, torsions: np.ndarray) -> 
     return np.stack([p0, p1, p2, p3, p4], axis=1)
 
 
+def build_chain_n(bonds: np.ndarray, angles: np.ndarray, torsions: np.ndarray) -> np.ndarray:
+    """Internal -> Cartesian for an N-bead chain (generalizes build_chain).
+
+    bonds: (B, N-1), angles: (B, N-2), torsions: (B, N-3) -> (B, N, 3).
+    """
+    b = bonds.shape[0]
+    n = bonds.shape[1] + 1
+    p0 = np.zeros((b, 3))
+    p1 = p0 + np.stack([bonds[:, 0], np.zeros(b), np.zeros(b)], axis=-1)
+    p2 = p1 + bonds[:, 1, None] * np.stack(
+        [-np.cos(angles[:, 0]), np.sin(angles[:, 0]), np.zeros(b)], axis=-1
+    )
+    pts = [p0, p1, p2]
+    for i in range(n - 3):
+        pts.append(
+            _nerf_extend(
+                pts[i], pts[i + 1], pts[i + 2],
+                bonds[:, i + 2], angles[:, i + 1], torsions[:, i],
+            )
+        )
+    return np.stack(pts, axis=1)
+
+
+# 10-bead (chignolin-scale) polymer: 7 torsions. The two central torsions
+# are bimodal (slow, metastable — what TICA must find); the rest are
+# unimodal fast modes. Jointly a 4-state system with known equilibrium.
+CHAIN10_TORSION_COMPONENTS: Tuple[Tuple[Tuple[float, float, float], ...], ...] = (
+    ((1.0, -1.0, 10.0),),
+    ((1.0, 2.2, 10.0),),
+    ((0.6, -1.2, 9.0), (0.4, 1.4, 9.0)),   # slow torsion A
+    ((1.0, 0.8, 10.0),),
+    ((0.55, -2.0, 8.0), (0.45, 0.6, 8.0)),  # slow torsion B
+    ((1.0, -2.4, 10.0),),
+    ((1.0, 1.6, 10.0),),
+)
+
+
+def mixture_logp(theta: np.ndarray, components) -> np.ndarray:
+    """Unnormalized log density of a von Mises mixture (i0 terms folded into
+    the weights)."""
+    from scipy.special import i0
+
+    p = np.zeros_like(theta, dtype=np.float64)
+    for w, mu, kappa in components:
+        p = p + w * np.exp(kappa * np.cos(theta - mu)) / (2 * np.pi * i0(kappa))
+    return np.log(p)
+
+
+def metropolis_torsion_walk(
+    rng: np.random.Generator,
+    n_steps: int,
+    components,
+    sigma: float,
+    walkers: int,
+) -> np.ndarray:
+    """Random-walk Metropolis on a von Mises mixture: (walkers, n_steps).
+
+    Exact stationary distribution = the mixture; ``sigma`` controls the
+    autocorrelation time (small sigma -> slow hopping between basins ->
+    a genuine slow mode for TICA to find).
+    """
+    theta = sample_torsion_mixture(rng, walkers, components)
+    logp = mixture_logp(theta, components)
+    out = np.empty((walkers, n_steps), dtype=np.float64)
+    for s in range(n_steps):
+        prop = theta + sigma * rng.normal(size=walkers)
+        prop = np.mod(prop + np.pi, 2 * np.pi) - np.pi
+        logp_prop = mixture_logp(prop, components)
+        accept = np.log(rng.random(walkers)) < (logp_prop - logp)
+        theta = np.where(accept, prop, theta)
+        logp = np.where(accept, logp_prop, logp)
+        out[:, s] = theta
+    return out
+
+
+def _chain10_frames(rng, torsions: np.ndarray) -> np.ndarray:
+    """Coords for given torsions (B, 7): bonds/angles are fast Gaussian
+    modes, random global SO(3) orientation per frame."""
+    b = torsions.shape[0]
+    bonds = rng.normal(BOND_LENGTH, BOND_STD, size=(b, 9))
+    angles = rng.normal(ANGLE, ANGLE_STD, size=(b, 8))
+    coords = build_chain_n(bonds, angles, torsions)
+    coords = coords - coords.mean(axis=1, keepdims=True)
+    q = rng.normal(size=(b, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    rot = np.stack(
+        [
+            np.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x**2 + z**2), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x**2 + y**2)], -1),
+        ],
+        axis=-2,
+    )
+    coords = np.einsum("bij,bnj->bni", rot, coords)
+    return coords.astype(np.float32)
+
+
+def chain10_dataset(n_samples: int, seed: int = 0) -> np.ndarray:
+    """(n_samples, 10, 3) i.i.d. equilibrium draws of the 10-bead system."""
+    rng = np.random.default_rng(seed)
+    torsions = np.stack(
+        [
+            sample_torsion_mixture(rng, n_samples, comp)
+            for comp in CHAIN10_TORSION_COMPONENTS
+        ],
+        axis=-1,
+    )
+    return _chain10_frames(rng, torsions)
+
+
+def chain10_trajectory(
+    n_frames: int, seed: int = 0, walkers: int = 50, sigma: float = 0.35
+) -> np.ndarray:
+    """(n_frames, 10, 3) TIME-CORRELATED equilibrium trajectory.
+
+    Torsions evolve by Metropolis dynamics (exact equilibrium; basin hops
+    are the slow modes), concatenated over ``walkers`` independent walkers
+    — the same structure as the reference's concatenated D.E. Shaw
+    trajectory parts (lagtime 100 << frames/walker, so the few boundary
+    pairs are noise).
+    """
+    rng = np.random.default_rng(seed)
+    steps = -(-n_frames // walkers)
+    torsions = np.stack(
+        [
+            metropolis_torsion_walk(rng, steps, comp, sigma, walkers)
+            for comp in CHAIN10_TORSION_COMPONENTS
+        ],
+        axis=-1,
+    )  # (walkers, steps, 7)
+    torsions = torsions.reshape(-1, 7)[:n_frames]
+    return _chain10_frames(rng, torsions)
+
+
 def bimodal_dipeptide_dataset(
     n_samples: int,
     seed: int = 0,

@@ -32,6 +32,7 @@ def make_diffusion_force_fn(
     fused: str = "never",
     fused_block: int = 128,
     bf16: bool = False,
+    n_chains: Optional[int] = None,
 ):
     """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
 
@@ -46,14 +47,14 @@ def make_diffusion_force_fn(
     pass) matmuls already, so ``bf16=True`` only affects the plain-XLA and
     head-packed paths — on the chain-lane path it is a no-op.
 
-    ``fused`` selects a fused Pallas score kernel that runs the entire force
-    evaluation in one TPU kernel: "cl" = the chain-lane kernel
-    (ops/fused_score_cl.py, production edge config only), "always" = the
-    head-packed kernel (ops/fused_score.py), "auto" picks the chain-lane
-    kernel when the model/config supports it and a TPU backend is active,
-    "never" keeps the plain XLA path. The kernels' one-time Mosaic compile
-    can run minutes for full-size models (cached persistently afterwards —
-    see utils/cache.py).
+    ``fused`` selects a fused Pallas score path: "cl" = the chain-lane
+    mega-kernel (ops/fused_score_cl.py, N <= 10 regime), "clx" = the
+    chain-lane attention-core path for larger proteins
+    (ops/fused_score_clx.py), "always" = the head-packed kernel
+    (ops/fused_score.py), "auto" picks per model size and chain count
+    (``n_chains``) from the measured win regimes, "never" keeps the plain
+    XLA path. Mega-kernel Mosaic compiles can run minutes for full-size
+    models (cached persistently afterwards — see utils/cache.py).
     """
     buf = diffusion.buffers
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
@@ -77,18 +78,36 @@ def make_diffusion_force_fn(
         import jax
 
         from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
+        from twoforone_tpu.ops.fused_score_clx import CLX_MIN_CHAINS
 
         if jax.default_backend() in ("cpu",):
             mode = "never"
-        # Verified-win regime: the chain-lane kernel is 2-2.7x the XLA path;
-        # per-N kernel options (4D slabs + whole-energy remat at N <= 10,
-        # loop-over-i + hierarchical remat beyond — docs/PERF_NOTES.md) come
-        # from ops/fused_score_cl.auto_opts, and auto engages only up to the
-        # TPU-verified bead count; force with fused="cl" to experiment.
-        elif _cl_supported() and diffusion.model.num_beads <= VERIFIED_MAX_N:
+        elif not _cl_supported():
+            mode = "never"
+        # Measured win regimes (docs/PERF_NOTES.md): the mega-kernel is
+        # 2-2.7x at N <= 10; beyond that Mosaic cannot compile it (register
+        # spill slots) and the attention-core clx path wins from ~256
+        # chains (1.36x at trp_cage/1024). Force with fused="cl"/"clx" to
+        # experiment outside these ranges.
+        elif diffusion.model.num_beads <= VERIFIED_MAX_N:
             mode = "cl"
+        elif n_chains is not None and n_chains >= CLX_MIN_CHAINS:
+            mode = "clx"
         else:
             mode = "never"
+
+    if mode == "clx":
+        from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
+
+        clx = make_clx_force_fn(diffusion.model, params, t_norm)
+
+        def force_fn(x):
+            eps_hat = clx(x)
+            forces = -eps_hat * scale
+            potential = jnp.zeros((x.shape[0],), dtype=jnp.float32)
+            return potential, forces
+
+        return force_fn
 
     if mode == "cl":
         from twoforone_tpu.ops.fused_score import pad_chains
@@ -197,6 +216,7 @@ class LangevinDiffusion:
         force_fn = make_diffusion_force_fn(
             diffusion, params, t, kbt_inv=self.kb_inv / temp_data,
             fused=fused, fused_block=fused_block, bf16=bf16,
+            n_chains=init_sample.shape[0],
         )
 
         if friction is None:

@@ -64,6 +64,181 @@ def pwd_js(coords_a, coords_b, n_bins: int = 100) -> float:
     return float(js_divergence(ha, hb))
 
 
+class SyntheticTicScorer:
+    """TIC-JS scoring for the synthetic 10-bead system, with exactly the
+    TicEvaluator conventions (sliding 4-mer dihedrals + PWD triu features,
+    TICA(lagtime=100, dim=2) fit on a reference trajectory, 101-bin 2D
+    density histograms, JS on flattened probabilities)."""
+
+    def __init__(self, ref_trajectory, ref_equilibrium, bins: int = 101):
+        from twoforone_tpu.evaluate.evaluators import (
+            pwd_triu_batch,
+            sliding_dihedral_indices,
+        )
+        from twoforone_tpu.evaluate.tica import fit_tica
+        from twoforone_tpu.ops.geometry import dihedrals as jnp_dihedrals
+
+        def feats(xyz):
+            xyz = np.asarray(xyz)
+            ind = sliding_dihedral_indices(xyz.shape[1])
+            dihe = np.asarray(jnp_dihedrals(xyz, ind))
+            return np.hstack((dihe, np.asarray(pwd_triu_batch(xyz))))
+
+        self._feats = feats
+        self.tica = fit_tica(feats(ref_trajectory), lagtime=100, dim=2)
+        z = self.tica(feats(ref_equilibrium))
+        self.gt_prob, self.ex, self.ey = np.histogram2d(
+            z[:, 0], z[:, 1], bins=bins, density=True
+        )
+
+    def tic_js(self, xyz) -> float:
+        from twoforone_tpu.evaluate.metrics import js_divergence
+
+        z = self.tica(self._feats(xyz))
+        prob, _, _ = np.histogram2d(
+            z[:, 0], z[:, 1], bins=[self.ex, self.ey], density=True
+        )
+        return float(js_divergence(self.gt_prob.flatten(), prob.flatten()))
+
+
+def run_chain10_control(
+    train_iter: int = 50000,
+    n_data: int = 400000,
+    batch_size: int = 512,
+    hidden_nf: int = 64,
+    n_layers: int = 3,
+    learning_rate: float = 4e-4,
+    num_samples: int = 50000,
+    langevin_chains: int = 1000,
+    langevin_steps: int = 50000,
+    langevin_save_interval: int = 250,
+    t_noise: int = 20,
+    seed: int = 0,
+    results_folder: str = None,
+    loss_weights: str = "ones",
+    timesteps: int = 1000,
+    fused: str = "never",
+    eval_samples: int = 50000,
+) -> dict:
+    """Chignolin-SCALE positive control: the shipped chignolin model shape
+    (nf=64, 3 layers, batch 512, conservative, intrinsic edges) trained at
+    production scale on the synthetic 10-bead 4-state system
+    (data/synthetic.py chain10_*), scored with the TICA machinery the real
+    fast-folder evaluation uses. Closes the VERDICT r2 gap "no trained
+    model has been validated on a chignolin-shaped system with TIC-JS"
+    within this image's data constraints (the D.E. Shaw trajectories are
+    proprietary; the FU Berlin ala2 npz needs network egress — both absent).
+
+    ``loss_weights`` defaults to "ones" for the reason documented in
+    run_positive_control / docs/POSITIVE_CONTROL.md (the shipped
+    higheruntil_100 undersamples high-noise timesteps and biases iid basin
+    weights; the Langevin force field is unaffected either way).
+    """
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.data.pdb import load_pdb
+    from twoforone_tpu.data.synthetic import chain10_dataset, chain10_trajectory
+    from twoforone_tpu.dynamics.langevin import LangevinDiffusion
+    from twoforone_tpu.models.graph_transformer import GraphTransformer
+    from twoforone_tpu.train.trainer import Trainer
+    from twoforone_tpu.utils.config import TrainConfig
+
+    traj = chain10_trajectory(n_data, seed=seed)
+    topology = load_pdb(
+        os.path.join(_ASSETS, "folded_pdbs", "CLN025-0-c-alpha.pdb")
+    ).topology
+    n_train = int(0.7 * n_data)
+    n_val = int(0.1 * n_data)
+    mk = lambda arr: CGDataset(arr, topology, "chignolin", mean0=True)
+    trainset = mk(traj[:n_train])
+    valset = mk(traj[n_train : n_train + n_val])
+    testset = mk(traj[n_train + n_val :])
+
+    if results_folder is None:
+        results_folder = tempfile.mkdtemp(prefix="chain10_control_")
+
+    norm_factor = float(trainset.data.std())
+    model = GraphTransformer(
+        num_beads=10, hidden_nf=hidden_nf, n_layers=n_layers,
+        use_intrinsic_coords=True, use_abs_coords=False,
+        use_distances=False, conservative=True,
+    )
+    gd = GaussianDiffusion(
+        model=model, num_atoms=10, timesteps=timesteps,
+        norm_factor=norm_factor, loss_weights=loss_weights,
+    )
+    cfg = TrainConfig(
+        mol="chignolin",
+        data_folder=None,
+        results_folder=results_folder,
+        tensorboard_folder=os.path.join(results_folder, "runs"),
+        experiment_name="chain10_control",
+        hidden_features_gnn=hidden_nf,
+        num_layers_gnn=n_layers,
+        diffusion_steps=timesteps,
+        loss_weights=loss_weights,
+        conservative=True,
+        use_intrinsic_coords=True,
+        use_abs_coords=False,
+        use_distances=False,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        min_lr_cosine_anneal=1e-5,
+        train_iter=train_iter,
+        eval_interval=train_iter,  # no mid-train eval; final save still runs
+        log_tensorboard_interval=500,
+        steps_per_host_loop=50,
+        num_samples=min(2048, num_samples),
+        num_samples_final_eval=min(2048, num_samples),
+        eval_langevin=False,
+        seed=seed,
+    )
+    trainer = Trainer(gd, (trainset, valset, testset), "chignolin", cfg,
+                      use_tensorboard=False)
+    trainer.train()
+    trainer.save("final")
+
+    # TICA scorer: fit on an independent reference trajectory, gt histogram
+    # from i.i.d. equilibrium draws.
+    scorer = SyntheticTicScorer(
+        chain10_trajectory(min(n_data, 200000), seed=seed + 10),
+        chain10_dataset(eval_samples, seed=seed + 11),
+    )
+    floor = scorer.tic_js(chain10_dataset(eval_samples, seed=seed + 12))
+
+    iid = np.asarray(trainer.sample(num_samples))
+    finite = np.isfinite(iid).all(axis=(1, 2))
+    iid = iid[finite]
+    results = {
+        "tic_js_floor": floor,
+        "tic_js_iid": scorer.tic_js(iid),
+        "pwd_js_iid": pwd_js(iid, chain10_dataset(min(num_samples, 50000),
+                                                  seed=seed + 13)),
+        "nonfinite_frac_iid": float(1.0 - finite.mean()),
+        "val_loss": trainer.best_val_loss,
+    }
+
+    ema_params = jax.device_get(trainer.state.ema_params)
+    rng = np.random.default_rng(seed + 3)
+    init = iid[rng.integers(0, len(iid), langevin_chains)]
+    sim = LangevinDiffusion(
+        gd, ema_params, init,
+        n_timesteps=langevin_steps,
+        save_interval=langevin_save_interval,
+        t=t_noise, temp_data=340, temp_sim=340,
+        dt=None, masses=[12.0] * 10, friction=1.0,
+        kb="consistent", random_seed=seed, log=False, fused=fused,
+    )
+    traj_lang = sim.sample()
+    finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
+    results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
+    traj_lang = traj_lang[finite_l]
+    results["tic_js_langevin"] = scorer.tic_js(traj_lang)
+    results["results_folder"] = results_folder
+    return results
+
+
 def run_positive_control(
     train_iter: int = 4000,
     n_data: int = 40000,
