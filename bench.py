@@ -35,21 +35,22 @@ def _baselines():
         return json.load(f)
 
 
-def _make_sim(gd, params, parallel_sim, steps_per_chunk):
+def _make_sim(gd, params, parallel_sim, steps_per_chunk, t=20, temp=340):
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion
 
+    n = gd.num_atoms
     rng = np.random.default_rng(0)
-    init = rng.normal(size=(parallel_sim, 10, 3)).astype(np.float32)
+    init = rng.normal(size=(parallel_sim, n, 3)).astype(np.float32)
     init = (init - init.mean(axis=1, keepdims=True)) * gd.norm_factor
 
     return LangevinDiffusion(
         gd, params, init,
         n_timesteps=10_000_000,
         save_interval=500,
-        t=20,
-        temp_data=340, temp_sim=340,
+        t=t,
+        temp_data=temp, temp_sim=temp,
         dt=2e-3,
-        masses=[12.0] * 10,
+        masses=[12.0] * n,
         friction=1.0,
         kb="consistent",
         random_seed=0,
@@ -72,13 +73,44 @@ def _make_sim(gd, params, parallel_sim, steps_per_chunk):
     )
 
 
-def bench_langevin(gd, params, parallel_sim, warmup_steps, timed_steps):
-    sim = _make_sim(gd, params, parallel_sim, steps_per_chunk=warmup_steps)
+def bench_langevin(gd, params, parallel_sim, warmup_steps, timed_steps,
+                   t=20, temp=340):
+    sim = _make_sim(gd, params, parallel_sim, steps_per_chunk=warmup_steps,
+                    t=t, temp=temp)
     sim.sim.simulate(sub_interval=warmup_steps)  # compile + warm
     t0 = time.perf_counter()
     sim.sim.simulate(sub_interval=timed_steps)
     elapsed = time.perf_counter() - t0
     return timed_steps / elapsed
+
+
+def bench_langevin_protein(mol, parallel_sim, warmup_steps, timed_steps):
+    """Langevin steps/s for another shipped protein config (random init —
+    cost is weight-independent; reference workloads span all six proteins,
+    evaluate/sampling_commands.md:8-143). Noise levels/temps per reference."""
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.data.molecules import Molecules, norm_stds, temp_dict
+    from twoforone_tpu.models.graph_transformer import GraphTransformer
+
+    shapes = {"trp_cage": (20, 128, 3, 15), "protein_g": (56, 128, 3, 5)}
+    n, nf, layers, t_noise = shapes[mol]
+    model = GraphTransformer(
+        num_beads=n, hidden_nf=nf, n_layers=layers,
+        use_intrinsic_coords=True, use_abs_coords=False,
+        use_distances=False, conservative=True,
+    )
+    gd = GaussianDiffusion(
+        model=model, num_atoms=n, timesteps=1000,
+        norm_factor=float(norm_stds[Molecules[mol.upper()]]),
+        loss_weights="higheruntil_100",
+    )
+    params = gd.init_params(jax.random.PRNGKey(0))
+    return bench_langevin(
+        gd, params, parallel_sim, warmup_steps, timed_steps,
+        t=t_noise, temp=float(temp_dict[mol.upper()]),
+    )
 
 
 def bench_iid(gd, params, batch=4096):
@@ -147,6 +179,14 @@ def main():
         gd, params, parallel_sim=1000, warmup_steps=5_000, timed_steps=20_000
     )
     iid_sps = bench_iid(gd, params)
+    # Other shipped proteins (the reference workloads span all six;
+    # trp_cage + protein_g bracket the size range above chignolin).
+    sps_trp = bench_langevin_protein(
+        "trp_cage", parallel_sim=1000, warmup_steps=1_000, timed_steps=4_000
+    )
+    sps_pg = bench_langevin_protein(
+        "protein_g", parallel_sim=1000, warmup_steps=500, timed_steps=1_000
+    )
 
     print(json.dumps({
         "metric": "langevin_steps_per_sec_chip_chignolin_parallel1000",
@@ -166,6 +206,14 @@ def main():
                 "value": round(iid_sps, 2),
                 "unit": "samples/s",
                 "vs_baseline": ratio(iid_sps, "iid_samples_per_sec_cpu_torch"),
+            },
+            "langevin_steps_per_sec_chip_trp_cage_parallel1000": {
+                "value": round(sps_trp, 2), "unit": "steps/s",
+                "vs_baseline": None,
+            },
+            "langevin_steps_per_sec_chip_protein_g_parallel1000": {
+                "value": round(sps_pg, 2), "unit": "steps/s",
+                "vs_baseline": None,
             },
         },
     }))

@@ -273,5 +273,6 @@ def test_fused_auto_mode_selection(monkeypatch):
 
     assert gate(10, 100) == "cl"
     assert gate(20, 1024) == "clx"
-    assert gate(20, 100) == "xla"  # below the measured clx crossover
+    assert gate(20, 100) == "xla"  # below the measured clx chain crossover
     assert gate(20, None) == "xla"
+    assert gate(56, 1024) == "xla"  # above CLX_MAX_N: XLA measured fastest

@@ -295,12 +295,14 @@ class GaussianDiffusion:
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
         from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
+        from twoforone_tpu.ops.fused_score_clx import CLX_MAX_N, CLX_MIN_CHAINS
 
         m = self.model
         # Same gating as dynamics/langevin.py: the mega-kernel in its
-        # verified N <= 10 range, the attention-core clx path beyond (iid
-        # sampling batches are large, so clx is in its measured win regime);
-        # the packed kernel covers non-production edge configs.
+        # verified N <= 10 range; the attention-core clx path in its
+        # measured win region (N <= 32, batch >= 256 — iid batches usually
+        # qualify); the packed kernel for non-production edge configs;
+        # plain XLA (signalled by kernel="xla") where it measured fastest.
         cl_supported = (
             m.conservative and m.use_intrinsic_coords
             and not m.use_abs_coords and not m.use_distances
@@ -308,10 +310,28 @@ class GaussianDiffusion:
         if kernel == "auto":
             if cl_supported and m.num_beads <= VERIFIED_MAX_N:
                 kernel = "cl"
-            elif cl_supported:
+            elif (
+                cl_supported
+                and m.num_beads <= CLX_MAX_N
+                and batch_size >= CLX_MIN_CHAINS
+            ):
                 kernel = "clx"
+            elif cl_supported:
+                kernel = "xla"
             else:
                 kernel = "packed"
+        if kernel == "xla":
+            # Fastest measured option at villin/protein_g scale: the plain
+            # geometric XLA path, bound as a fixed-params sample fn.
+            sfn = self.score_fn(params)
+            shape = (batch_size, self.num_atoms, 3)
+
+            def sample(key):
+                mol = p_sample_loop(self.buffers, sfn, shape, key,
+                                    self.objective, mesh=mesh)
+                return mol * self.norm_factor
+
+            return jax.jit(sample)
         if kernel == "clx":
             from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
 

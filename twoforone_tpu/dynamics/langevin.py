@@ -78,20 +78,25 @@ def make_diffusion_force_fn(
         import jax
 
         from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
-        from twoforone_tpu.ops.fused_score_clx import CLX_MIN_CHAINS
+        from twoforone_tpu.ops.fused_score_clx import CLX_MAX_N, CLX_MIN_CHAINS
 
         if jax.default_backend() in ("cpu",):
             mode = "never"
         elif not _cl_supported():
             mode = "never"
         # Measured win regimes (docs/PERF_NOTES.md): the mega-kernel is
-        # 2-2.7x at N <= 10; beyond that Mosaic cannot compile it (register
-        # spill slots) and the attention-core clx path wins from ~256
-        # chains (1.36x at trp_cage/1024). Force with fused="cl"/"clx" to
-        # experiment outside these ranges.
+        # 2.4-4x at N <= 10; beyond that Mosaic cannot compile it (register
+        # spill slots) and the attention-core clx path wins up to bba size
+        # from ~256 chains (1.36x trp_cage / 1.12x bba at 1024 chains); at
+        # villin/protein_g the XLA geometric path is the fastest measured
+        # option. Force with fused="cl"/"clx" to experiment outside these.
         elif diffusion.model.num_beads <= VERIFIED_MAX_N:
             mode = "cl"
-        elif n_chains is not None and n_chains >= CLX_MIN_CHAINS:
+        elif (
+            diffusion.model.num_beads <= CLX_MAX_N
+            and n_chains is not None
+            and n_chains >= CLX_MIN_CHAINS
+        ):
             mode = "clx"
         else:
             mode = "never"

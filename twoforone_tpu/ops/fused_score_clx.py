@@ -34,12 +34,16 @@ import numpy as np
 from twoforone_tpu.ops.attention_cl_core import LANE_B, make_cl_attention_core
 from twoforone_tpu.ops.fused_score_cl import _augment_params_cl
 
-# Measured crossover vs the XLA geometric path (scripts/bench_cl_proteins.py,
-# docs/PERF_NOTES.md "Round 3"): at 128 chains the fori_loop attention core
-# under-fills the chip and the XLA path is ~15% faster; from ~256 chains the
-# zero-lane-padding layout wins (1.36x at trp_cage/1024). The auto gates use
-# this to pick clx only where it was measured to win.
+# Measured win regime vs the XLA geometric path (scripts/bench_cl_proteins.py
+# at 1024 chains, docs/PERF_NOTES.md "Round 3"): trp_cage (N=20) 1.36x,
+# bba (N=28) 1.12x, villin (N=35) 0.95x, protein_g (N=56) 0.70x — the
+# fori_loop attention core's VPU work grows as N^2 while the XLA path's
+# MXU-matmul fraction amortizes its lane padding, so clx wins in the middle
+# of the size range and the XLA geometric path stays fastest at the top.
+# Below ~256 chains the core under-fills the chip (0.87x at trp_cage/128).
+# The auto gates engage clx only inside the measured win region.
 CLX_MIN_CHAINS = 256
+CLX_MAX_N = 32
 
 
 def _stack_heads(aug: dict, heads: int) -> dict:

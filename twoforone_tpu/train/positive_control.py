@@ -144,13 +144,15 @@ def run_chain10_control(
     from twoforone_tpu.train.trainer import Trainer
     from twoforone_tpu.utils.config import TrainConfig
 
+    from twoforone_tpu.data.molecules import Molecules
+
     traj = chain10_trajectory(n_data, seed=seed)
     topology = load_pdb(
         os.path.join(_ASSETS, "folded_pdbs", "CLN025-0-c-alpha.pdb")
     ).topology
     n_train = int(0.7 * n_data)
     n_val = int(0.1 * n_data)
-    mk = lambda arr: CGDataset(arr, topology, "chignolin", mean0=True)
+    mk = lambda arr: CGDataset(arr, topology, Molecules.CHIGNOLIN, mean0=True)
     trainset = mk(traj[:n_train])
     valset = mk(traj[n_train : n_train + n_val])
     testset = mk(traj[n_train + n_val :])
