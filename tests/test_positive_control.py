@@ -88,3 +88,20 @@ def test_trained_model_reaches_low_js(tmp_path):
     assert results["js_langevin_bf16"] < bar_langevin, results
     assert results["js_bf16_vs_f32"] < bar_bf16, results
     assert results["pwd_js_bf16_vs_f32"] < bar_bf16_pwd, results
+
+
+@pytest.mark.skipif(
+    os.environ.get("CHAIN10_FULL") != "1",
+    reason="production-scale run; scripts/chain10_control.py is the artifact "
+           "(results committed at twoforone_tpu/assets/trained/chain10/)",
+)
+def test_chain10_production_control(tmp_path):
+    """The chignolin-scale control at full budget (TPU recommended)."""
+    from twoforone_tpu.train.positive_control import run_chain10_control
+
+    results = run_chain10_control(results_folder=str(tmp_path))
+    print(results)
+    assert results["tic_js_floor"] < 0.1, results
+    assert results["tic_js_iid"] < 0.15, results
+    assert results["tic_js_langevin"] < 0.25, results
+    assert results["nonfinite_frac_iid"] < 0.01, results

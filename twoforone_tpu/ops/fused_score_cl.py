@@ -312,7 +312,7 @@ def make_fused_force_kernel_cl(
     t_norm: float = None,
     interpret: bool = False,
     remat=True,
-    vmem_limit_mb: int = 100,
+    vmem_limit_mb: int = 120,
     loop_i: bool = False,
 ) -> Callable:
     """Chain-lane fused force kernel; signature mirrors
@@ -321,6 +321,11 @@ def make_fused_force_kernel_cl(
 
     Returns ``x -> eps_hat`` on (B, N, 3) arrays (B a multiple of 128) for
     fixed ``t_norm``, or ``(x, t) -> eps_hat`` when ``t_norm`` is None.
+
+    ``vmem_limit_mb`` defaults above Mosaic's 100MB scoped default (v5e has
+    128MB physical): the N=10/nf=64 kernel needs 101.3MB of scoped stack
+    when compiled inside the Langevin integrator's while body, slightly
+    more than standalone.
 
     ``remat`` sets the manual-remat granularity for the in-kernel backward:
     False = none, True or "energy" = recompute the whole forward in the

@@ -98,6 +98,10 @@ class SyntheticTicScorer:
         prob, _, _ = np.histogram2d(
             z[:, 0], z[:, 1], bins=[self.ex, self.ey], density=True
         )
+        if not np.isfinite(prob).any() or prob.sum() == 0:
+            # every sample fell outside the reference bin range (possible
+            # for a wildly wrong model): report maximal divergence, not NaN
+            return float(np.log(2))
         return float(js_divergence(self.gt_prob.flatten(), prob.flatten()))
 
 
