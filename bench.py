@@ -106,7 +106,9 @@ def bench_langevin_protein(mol, parallel_sim, warmup_steps, timed_steps):
         norm_factor=float(norm_stds[Molecules[mol.upper()]]),
         loss_weights="higheruntil_100",
     )
-    params = gd.init_params(jax.random.PRNGKey(0))
+    params = _load_trained_params(gd, n_beads=n)
+    if params is None:
+        params = gd.init_params(jax.random.PRNGKey(0))
     return bench_langevin(
         gd, params, parallel_sim, warmup_steps, timed_steps,
         t=t_noise, temp=float(temp_dict[mol.upper()]),
@@ -128,16 +130,17 @@ def bench_iid(gd, params, batch=4096):
     return batch / elapsed
 
 
-def _load_trained_params(gd):
-    """EMA weights of the chain10 production control, when staged
+def _load_trained_params(gd, n_beads=10):
+    """EMA weights of the chain{N} production control, when staged
     (scripts/chain10_control.py) — so the benchmarked configuration is one
-    that also produced validated physics (TIC-JS in assets/trained/chain10/
-    results.json). Falls back to random init (identical cost) otherwise."""
+    that also produced validated physics (TIC-JS in
+    assets/trained/chain{N}/results.json). Falls back to random init
+    (identical cost) otherwise."""
     import jax
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "twoforone_tpu", "assets", "trained", "chain10",
+        "twoforone_tpu", "assets", "trained", f"chain{n_beads}",
     )
     if not os.path.exists(os.path.join(path, "model-best.msgpack")):
         return None

@@ -1,12 +1,13 @@
-"""Production-scale chignolin-shaped control run (TPU).
+"""Production-scale synthetic-protein control runs (TPU).
 
-Trains the shipped chignolin model shape at production scale on the
-synthetic 10-bead 4-state system, scores TIC-JS / PWD-JS with the real
-evaluator machinery, and stages the trained checkpoint as a repo artifact
-(twoforone_tpu/assets/trained/chain10/) so bench.py can run its perf
-measurements with physics-validated weights.
+Trains the shipped model shape for a protein size at production scale on
+the synthetic multi-basin chain system, scores TIC-JS / PWD-JS with the
+real evaluator machinery, and stages the trained checkpoint as a repo
+artifact (twoforone_tpu/assets/trained/chain{N}/) so bench.py can run its
+perf measurements with physics-validated weights.
 
-    python scripts/chain10_control.py                 # full budget (~20 min)
+    python scripts/chain10_control.py                 # chignolin-scale N=10 (~30 min)
+    python scripts/chain10_control.py --n_beads 20    # trp_cage-scale N=20 (clx path)
     python scripts/chain10_control.py --quick         # reduced budget
 """
 
@@ -19,14 +20,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARTIFACT_DIR = os.path.join(
+ASSETS_TRAINED = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "twoforone_tpu", "assets", "trained", "chain10",
+    "twoforone_tpu", "assets", "trained",
 )
 
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--n_beads", type=int, default=10)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--train_iter", type=int, default=None)
     p.add_argument("--fused", type=str, default="auto")
@@ -36,9 +38,9 @@ def main():
     from twoforone_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from twoforone_tpu.train.positive_control import run_chain10_control
+    from twoforone_tpu.train.positive_control import run_chain_control
 
-    kwargs = dict(fused=args.fused)
+    kwargs = dict(n_beads=args.n_beads, fused=args.fused)
     if args.quick:
         kwargs.update(
             train_iter=8000, n_data=120000, num_samples=20000,
@@ -48,20 +50,23 @@ def main():
         kwargs["train_iter"] = args.train_iter
 
     t0 = time.time()
-    results = run_chain10_control(**kwargs)
+    results = run_chain_control(**kwargs)
     results["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(results, indent=2))
 
     if args.stage_artifact:
-        os.makedirs(ARTIFACT_DIR, exist_ok=True)
-        src = os.path.join(results["results_folder"], "chain10_control_")
-        for name in ("model-best.msgpack", "model-last.msgpack", "config.json"):
+        artifact_dir = os.path.join(ASSETS_TRAINED, f"chain{args.n_beads}")
+        os.makedirs(artifact_dir, exist_ok=True)
+        src = os.path.join(
+            results["results_folder"], f"chain{args.n_beads}_control_"
+        )
+        for name in ("model-best.msgpack", "config.json"):
             path = os.path.join(src, name)
             if os.path.exists(path):
-                shutil.copy(path, os.path.join(ARTIFACT_DIR, name))
-        with open(os.path.join(ARTIFACT_DIR, "results.json"), "w") as f:
+                shutil.copy(path, os.path.join(artifact_dir, name))
+        with open(os.path.join(artifact_dir, "results.json"), "w") as f:
             json.dump(results, f, indent=2)
-        print(f"artifact staged at {ARTIFACT_DIR}")
+        print(f"artifact staged at {artifact_dir}")
 
 
 if __name__ == "__main__":

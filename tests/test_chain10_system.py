@@ -63,6 +63,51 @@ def test_chain10_trajectory_has_slow_modes():
     assert ac > 0.3, ac
 
 
+def test_chain20_components_fixture():
+    """The N=20 control's torsion system is a deterministic fixture with
+    exactly the documented number of bimodal slow modes."""
+    from twoforone_tpu.data.synthetic import make_chain_components
+
+    comps = make_chain_components(17, n_slow=4, seed=11)
+    assert len(comps) == 17
+    assert sum(len(c) == 2 for c in comps) == 4
+    # deterministic across calls (it is the ground truth of a control run)
+    again = make_chain_components(17, n_slow=4, seed=11)
+    assert comps == again
+    # mixture weights normalized-ish and modes well separated
+    for c in comps:
+        if len(c) == 2:
+            (w1, m1, _), (w2, m2, _) = c
+            assert abs(w1 + w2 - 1.0) < 1e-12
+            gap = abs(np.mod(m1 - m2 + np.pi, 2 * np.pi) - np.pi)
+            assert gap > 1.5, (m1, m2)
+
+
+def test_chain20_torsion_distribution_exact():
+    """N=20: i.i.d. draws and the Metropolis trajectory share the
+    equilibrium torsion distribution (stationarity at the control size)."""
+    from twoforone_tpu.data.synthetic import (
+        chain_dataset,
+        chain_trajectory,
+        make_chain_components,
+    )
+    from twoforone_tpu.evaluate.evaluators import sliding_dihedral_indices
+    from twoforone_tpu.evaluate.metrics import js_divergence
+    from twoforone_tpu.ops.geometry import dihedrals
+
+    comps = make_chain_components(17, n_slow=4, seed=11)
+    iid = chain_dataset(15000, comps, seed=0)
+    traj = chain_trajectory(15000, comps, seed=1, walkers=40)
+    assert iid.shape == (15000, 20, 3)
+    ind = sliding_dihedral_indices(20)
+    d_iid = np.asarray(dihedrals(iid, ind))
+    d_traj = np.asarray(dihedrals(traj, ind))
+    for k in range(17):
+        h1 = np.histogram(d_iid[:, k], bins=61, range=(-np.pi, np.pi))[0]
+        h2 = np.histogram(d_traj[:, k], bins=61, range=(-np.pi, np.pi))[0]
+        assert js_divergence(h1, h2) < 0.03, f"torsion {k}"
+
+
 def test_synthetic_tic_scorer_discriminates():
     """Floor JS small for an equilibrium redraw; garbage scores high."""
     scorer = SyntheticTicScorer(

@@ -170,12 +170,40 @@ def metropolis_torsion_walk(
     return out
 
 
-def _chain10_frames(rng, torsions: np.ndarray) -> np.ndarray:
-    """Coords for given torsions (B, 7): bonds/angles are fast Gaussian
+def make_chain_components(
+    n_torsions: int, n_slow: int = 2, seed: int = 11
+) -> Tuple[Tuple[Tuple[float, float, float], ...], ...]:
+    """Torsion mixture components for an arbitrary-length chain.
+
+    ``n_slow`` evenly spaced interior torsions are bimodal (metastable slow
+    modes — what TICA must find); the rest are unimodal fast modes with
+    deterministic pseudo-random means. Fixed ``seed`` makes the system a
+    reproducible fixture at any N (the N=20 control uses
+    ``make_chain_components(17, n_slow=4)``)."""
+    rng = np.random.default_rng(seed)
+    slow = set(
+        np.linspace(1, n_torsions - 2, n_slow).round().astype(int).tolist()
+    ) if n_slow > 0 else set()
+    comps = []
+    for k in range(n_torsions):
+        if k in slow:
+            w = float(rng.uniform(0.4, 0.6))
+            mu1 = float(rng.uniform(-np.pi, 0.0))
+            mu2 = mu1 + float(rng.uniform(2.0, 3.0))
+            mu2 = float(np.mod(mu2 + np.pi, 2 * np.pi) - np.pi)
+            comps.append(((w, mu1, 8.0), (1.0 - w, mu2, 8.0)))
+        else:
+            comps.append(((1.0, float(rng.uniform(-np.pi, np.pi)), 10.0),))
+    return tuple(comps)
+
+
+def _chain_frames(rng, torsions: np.ndarray) -> np.ndarray:
+    """Coords for given torsions (B, N-3): bonds/angles are fast Gaussian
     modes, random global SO(3) orientation per frame."""
-    b = torsions.shape[0]
-    bonds = rng.normal(BOND_LENGTH, BOND_STD, size=(b, 9))
-    angles = rng.normal(ANGLE, ANGLE_STD, size=(b, 8))
+    b, n_torsions = torsions.shape
+    n = n_torsions + 3
+    bonds = rng.normal(BOND_LENGTH, BOND_STD, size=(b, n - 1))
+    angles = rng.normal(ANGLE, ANGLE_STD, size=(b, n - 2))
     coords = build_chain_n(bonds, angles, torsions)
     coords = coords - coords.mean(axis=1, keepdims=True)
     q = rng.normal(size=(b, 4))
@@ -193,23 +221,24 @@ def _chain10_frames(rng, torsions: np.ndarray) -> np.ndarray:
     return coords.astype(np.float32)
 
 
-def chain10_dataset(n_samples: int, seed: int = 0) -> np.ndarray:
-    """(n_samples, 10, 3) i.i.d. equilibrium draws of the 10-bead system."""
+def chain_dataset(
+    n_samples: int, components, seed: int = 0
+) -> np.ndarray:
+    """(n_samples, len(components)+3, 3) i.i.d. equilibrium draws."""
     rng = np.random.default_rng(seed)
     torsions = np.stack(
-        [
-            sample_torsion_mixture(rng, n_samples, comp)
-            for comp in CHAIN10_TORSION_COMPONENTS
-        ],
+        [sample_torsion_mixture(rng, n_samples, comp) for comp in components],
         axis=-1,
     )
-    return _chain10_frames(rng, torsions)
+    return _chain_frames(rng, torsions)
 
 
-def chain10_trajectory(
-    n_frames: int, seed: int = 0, walkers: int = 50, sigma: float = 0.35
+def chain_trajectory(
+    n_frames: int, components, seed: int = 0, walkers: int = 50,
+    sigma: float = 0.35
 ) -> np.ndarray:
-    """(n_frames, 10, 3) TIME-CORRELATED equilibrium trajectory.
+    """(n_frames, len(components)+3, 3) TIME-CORRELATED equilibrium
+    trajectory.
 
     Torsions evolve by Metropolis dynamics (exact equilibrium; basin hops
     are the slow modes), concatenated over ``walkers`` independent walkers
@@ -219,15 +248,31 @@ def chain10_trajectory(
     """
     rng = np.random.default_rng(seed)
     steps = -(-n_frames // walkers)
+    k = len(components)
     torsions = np.stack(
         [
             metropolis_torsion_walk(rng, steps, comp, sigma, walkers)
-            for comp in CHAIN10_TORSION_COMPONENTS
+            for comp in components
         ],
         axis=-1,
-    )  # (walkers, steps, 7)
-    torsions = torsions.reshape(-1, 7)[:n_frames]
-    return _chain10_frames(rng, torsions)
+    )  # (walkers, steps, k)
+    torsions = torsions.reshape(-1, k)[:n_frames]
+    return _chain_frames(rng, torsions)
+
+
+def chain10_dataset(n_samples: int, seed: int = 0) -> np.ndarray:
+    """(n_samples, 10, 3) i.i.d. equilibrium draws of the 10-bead system."""
+    return chain_dataset(n_samples, CHAIN10_TORSION_COMPONENTS, seed=seed)
+
+
+def chain10_trajectory(
+    n_frames: int, seed: int = 0, walkers: int = 50, sigma: float = 0.35
+) -> np.ndarray:
+    """(n_frames, 10, 3) time-correlated trajectory of the 10-bead system."""
+    return chain_trajectory(
+        n_frames, CHAIN10_TORSION_COMPONENTS, seed=seed, walkers=walkers,
+        sigma=sigma,
+    )
 
 
 def bimodal_dipeptide_dataset(

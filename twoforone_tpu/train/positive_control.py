@@ -105,18 +105,33 @@ class SyntheticTicScorer:
         return float(js_divergence(self.gt_prob.flatten(), prob.flatten()))
 
 
-def run_chain10_control(
+#: Per-size production-control settings: (PDB topology, Molecules entry,
+#: model shape + optimizer from the reference's shipped configs
+#: (SURVEY "shipped model config"), Langevin noise level + temperature from
+#: evaluate/sampling_commands.md / dynamics/langevin.py temp tables).
+CHAIN_CONTROL_PRESETS = {
+    10: dict(pdb="CLN025-0-c-alpha.pdb", mol="CHIGNOLIN", hidden_nf=64,
+             n_layers=3, learning_rate=4e-4, t_noise=20, temp=340.0,
+             n_slow=2, components_seed=None),  # None = CHAIN10 fixture
+    20: dict(pdb="2JOF-0-c-alpha.pdb", mol="TRP_CAGE", hidden_nf=128,
+             n_layers=3, learning_rate=4e-4, t_noise=15, temp=290.0,
+             n_slow=4, components_seed=11),
+}
+
+
+def run_chain_control(
+    n_beads: int = 10,
     train_iter: int = 50000,
     n_data: int = 400000,
     batch_size: int = 512,
-    hidden_nf: int = 64,
-    n_layers: int = 3,
-    learning_rate: float = 4e-4,
+    hidden_nf: int = None,
+    n_layers: int = None,
+    learning_rate: float = None,
     num_samples: int = 50000,
     langevin_chains: int = 1000,
     langevin_steps: int = 50000,
     langevin_save_interval: int = 250,
-    t_noise: int = 20,
+    t_noise: int = None,
     seed: int = 0,
     results_folder: str = None,
     loss_weights: str = "ones",
@@ -124,14 +139,16 @@ def run_chain10_control(
     fused: str = "never",
     eval_samples: int = 50000,
 ) -> dict:
-    """Chignolin-SCALE positive control: the shipped chignolin model shape
-    (nf=64, 3 layers, batch 512, conservative, intrinsic edges) trained at
-    production scale on the synthetic 10-bead 4-state system
-    (data/synthetic.py chain10_*), scored with the TICA machinery the real
-    fast-folder evaluation uses. Closes the VERDICT r2 gap "no trained
-    model has been validated on a chignolin-shaped system with TIC-JS"
-    within this image's data constraints (the D.E. Shaw trajectories are
-    proprietary; the FU Berlin ala2 npz needs network egress — both absent).
+    """Production-SCALE positive control at a shipped protein size: the
+    reference's model shape for that protein trained at production scale on
+    the synthetic ``n_beads``-bead multi-basin system (data/synthetic.py
+    chain_*), scored with the TICA machinery the real fast-folder
+    evaluation uses. Closes the VERDICT r2 gap "no trained model has been
+    validated on a chignolin-shaped system with TIC-JS" within this image's
+    data constraints (the D.E. Shaw trajectories are proprietary; the FU
+    Berlin ala2 npz needs network egress — both absent). At n_beads=20 the
+    Langevin stage with ``fused="auto"`` runs the clx fused attention-core
+    path, validating its physics end to end.
 
     ``loss_weights`` defaults to "ones" for the reason documented in
     run_positive_control / docs/POSITIVE_CONTROL.md (the shipped
@@ -142,7 +159,12 @@ def run_chain10_control(
 
     from twoforone_tpu.core.diffusion import GaussianDiffusion
     from twoforone_tpu.data.pdb import load_pdb
-    from twoforone_tpu.data.synthetic import chain10_dataset, chain10_trajectory
+    from twoforone_tpu.data.synthetic import (
+        CHAIN10_TORSION_COMPONENTS,
+        chain_dataset,
+        chain_trajectory,
+        make_chain_components,
+    )
     from twoforone_tpu.dynamics.langevin import LangevinDiffusion
     from twoforone_tpu.models.graph_transformer import GraphTransformer
     from twoforone_tpu.train.trainer import Trainer
@@ -150,36 +172,57 @@ def run_chain10_control(
 
     from twoforone_tpu.data.molecules import Molecules
 
+    preset = CHAIN_CONTROL_PRESETS[n_beads]
+    hidden_nf = preset["hidden_nf"] if hidden_nf is None else hidden_nf
+    n_layers = preset["n_layers"] if n_layers is None else n_layers
+    learning_rate = (
+        preset["learning_rate"] if learning_rate is None else learning_rate
+    )
+    t_noise = preset["t_noise"] if t_noise is None else t_noise
+    temp = preset["temp"]
+    if preset["components_seed"] is None:
+        components = CHAIN10_TORSION_COMPONENTS
+    else:
+        components = make_chain_components(
+            n_beads - 3, n_slow=preset["n_slow"],
+            seed=preset["components_seed"],
+        )
+    chain10_dataset = lambda n, seed: chain_dataset(n, components, seed=seed)
+    chain10_trajectory = lambda n, seed: chain_trajectory(
+        n, components, seed=seed
+    )
+
     traj = chain10_trajectory(n_data, seed=seed)
     topology = load_pdb(
-        os.path.join(_ASSETS, "folded_pdbs", "CLN025-0-c-alpha.pdb")
+        os.path.join(_ASSETS, "folded_pdbs", preset["pdb"])
     ).topology
     n_train = int(0.7 * n_data)
     n_val = int(0.1 * n_data)
-    mk = lambda arr: CGDataset(arr, topology, Molecules.CHIGNOLIN, mean0=True)
+    mol = Molecules[preset["mol"]]
+    mk = lambda arr: CGDataset(arr, topology, mol, mean0=True)
     trainset = mk(traj[:n_train])
     valset = mk(traj[n_train : n_train + n_val])
     testset = mk(traj[n_train + n_val :])
 
     if results_folder is None:
-        results_folder = tempfile.mkdtemp(prefix="chain10_control_")
+        results_folder = tempfile.mkdtemp(prefix=f"chain{n_beads}_control_")
 
     norm_factor = float(trainset.data.std())
     model = GraphTransformer(
-        num_beads=10, hidden_nf=hidden_nf, n_layers=n_layers,
+        num_beads=n_beads, hidden_nf=hidden_nf, n_layers=n_layers,
         use_intrinsic_coords=True, use_abs_coords=False,
         use_distances=False, conservative=True,
     )
     gd = GaussianDiffusion(
-        model=model, num_atoms=10, timesteps=timesteps,
+        model=model, num_atoms=n_beads, timesteps=timesteps,
         norm_factor=norm_factor, loss_weights=loss_weights,
     )
     cfg = TrainConfig(
-        mol="chignolin",
+        mol=preset["mol"].lower(),
         data_folder=None,
         results_folder=results_folder,
         tensorboard_folder=os.path.join(results_folder, "runs"),
-        experiment_name="chain10_control",
+        experiment_name=f"chain{n_beads}_control",
         hidden_features_gnn=hidden_nf,
         num_layers_gnn=n_layers,
         diffusion_steps=timesteps,
@@ -200,8 +243,8 @@ def run_chain10_control(
         eval_langevin=False,
         seed=seed,
     )
-    trainer = Trainer(gd, (trainset, valset, testset), "chignolin", cfg,
-                      use_tensorboard=False)
+    trainer = Trainer(gd, (trainset, valset, testset), preset["mol"].lower(),
+                      cfg, use_tensorboard=False)
     trainer.train()
     trainer.save("final")
 
@@ -232,8 +275,8 @@ def run_chain10_control(
         gd, ema_params, init,
         n_timesteps=langevin_steps,
         save_interval=langevin_save_interval,
-        t=t_noise, temp_data=340, temp_sim=340,
-        dt=None, masses=[12.0] * 10, friction=1.0,
+        t=t_noise, temp_data=temp, temp_sim=temp,
+        dt=None, masses=[12.0] * n_beads, friction=1.0,
         kb="consistent", random_seed=seed, log=False, fused=fused,
     )
     traj_lang = sim.sample()
@@ -243,6 +286,11 @@ def run_chain10_control(
     results["tic_js_langevin"] = scorer.tic_js(traj_lang)
     results["results_folder"] = results_folder
     return results
+
+
+def run_chain10_control(**kwargs) -> dict:
+    """The chignolin-scale (N=10) instance of :func:`run_chain_control`."""
+    return run_chain_control(n_beads=10, **kwargs)
 
 
 def run_positive_control(
