@@ -22,40 +22,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# (beads, hidden_nf, n_layers) from the shipped args.pickle configs.
-CONFIGS = {
-    "alanine": (5, 96, 2),
-    "chignolin": (10, 64, 3),
-    "trp_cage": (20, 128, 3),
-    "bba": (28, 96, 3),
-    "villin": (35, 128, 3),
-    "protein_g": (56, 128, 3),
-}
-K = 200
-
-
-def time_chain(force_fn, x, iters=2):
-    import jax
-
-    @jax.jit
-    def chain(x):
-        def body(x, _):
-            f = force_fn(x)
-            return x + 1e-6 * f, ()
-
-        out, _ = jax.lax.scan(body, x, None, length=K)
-        return out
-
-    out = chain(x)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = chain(x)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / K
+from _bench_common import CONFIGS, time_chain  # noqa: E402
 
 
 def run_one(mol: str, b: int = 128):

@@ -25,19 +25,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_common import CONFIGS, time_chain  # noqa: E402
 
 V5E_PEAK_BF16 = 197e12  # FLOPs/s, one v5e chip
 V5E_PEAK_F32 = 49e12    # approx (6-pass f32 on the MXU)
 V5E_HBM_BW = 819e9      # bytes/s
-
-CONFIGS = {
-    "alanine": (5, 96, 2),
-    "chignolin": (10, 64, 3),
-    "trp_cage": (20, 128, 3),
-    "bba": (28, 96, 3),
-    "villin": (35, 128, 3),
-    "protein_g": (56, 128, 3),
-}
 
 
 def flops_per_chain_forward(n, c, layers, heads=8, dh=64, ff_mult=4):
@@ -51,27 +45,6 @@ def flops_per_chain_forward(n, c, layers, heads=8, dh=64, ff_mult=4):
     per_layer += 2 * c * (ff_mult * c) * n * 2    # FF
     emb = (n + 1) * c * n * 2 + c * n * 2
     return layers * per_layer + emb
-
-
-def time_chain_fn(force_fn, x, k=200, iters=2):
-    import jax
-
-    @jax.jit
-    def chain(x):
-        def body(x, _):
-            return x + 1e-6 * force_fn(x), ()
-
-        out, _ = jax.lax.scan(body, x, None, length=k)
-        return out
-
-    out = chain(x)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / k
 
 
 def main():
@@ -133,7 +106,7 @@ def main():
         else:
             raise SystemExit(f"unknown path {path}")
 
-        per_eval = time_chain_fn(force, x)
+        per_eval = time_chain(force, x)
         us_chain = per_eval / b * 1e6
         achieved = fl_total * b / per_eval
         print(json.dumps({

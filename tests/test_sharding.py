@@ -130,6 +130,67 @@ def test_sharded_langevin_chains_public_api(mesh):
         )
 
 
+def test_sharded_fused_force_fn_shard_map(mesh):
+    """make_diffusion_force_fn(mesh=...) with a Pallas path fans the kernel
+    out per device via shard_map (a pallas_call has no GSPMD partitioning
+    rule — without the wrap, jit over sharded chains would gather or fail);
+    forces match the single-device kernel and stay chain-sharded."""
+    from twoforone_tpu.dynamics.langevin import make_diffusion_force_fn
+    from twoforone_tpu.parallel.mesh import chain_sharding
+
+    gd = _tiny_gd(timesteps=1000)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    x = np.random.default_rng(5).normal(size=(16, 10, 3)).astype(np.float32)
+    x = x - x.mean(axis=1, keepdims=True)
+
+    f_single = make_diffusion_force_fn(
+        gd, params, t=20, kbt_inv=1.0, fused="cl", interpret=True,
+    )
+    f_mesh = make_diffusion_force_fn(
+        gd, params, t=20, kbt_inv=1.0, fused="cl", interpret=True,
+        mesh=mesh, n_chains=16,
+    )
+    _, forces_ref = jax.jit(f_single)(jnp.asarray(x))
+    xs = jax.device_put(jnp.asarray(x), chain_sharding(mesh))
+    _, forces = jax.jit(f_mesh)(xs)
+    np.testing.assert_allclose(
+        np.asarray(forces), np.asarray(forces_ref), atol=1e-5
+    )
+    assert len(forces.sharding.device_set) == 8
+    assert {s.data.shape for s in forces.addressable_shards} == {(2, 10, 3)}
+
+
+def test_fused_auto_gate_uses_per_device_chains():
+    """The clx auto-gate thresholds are measured PER DEVICE: a global chain
+    count above CLX_MIN_CHAINS that shards to fewer than the threshold per
+    device must not select clx (measured slower below ~256 chains/device).
+    make_diffusion_force_fn divides n_chains by the mesh size before
+    calling this resolver."""
+    from twoforone_tpu.dynamics.langevin import resolve_fused_mode
+    from twoforone_tpu.ops.fused_score_clx import CLX_MIN_CHAINS
+
+    model = GraphTransformer(
+        num_beads=20, hidden_nf=16, n_layers=1,
+        use_intrinsic_coords=True, use_abs_coords=False, use_distances=False,
+        conservative=True,
+    )
+    assert CLX_MIN_CHAINS == 256
+    # single device, enough chains -> clx
+    assert resolve_fused_mode(model, "auto", 1024, "tpu") == "clx"
+    # 1024 global / 8 devices = 128 per device -> below threshold -> XLA
+    assert resolve_fused_mode(model, "auto", 1024 // 8, "tpu") == "never"
+    # CPU backend never auto-selects a Pallas path
+    assert resolve_fused_mode(model, "auto", 1024, "cpu") == "never"
+    # explicit modes pass through regardless
+    assert resolve_fused_mode(model, "clx", 8, "tpu") == "clx"
+    small = GraphTransformer(
+        num_beads=10, hidden_nf=16, n_layers=1,
+        use_intrinsic_coords=True, use_abs_coords=False, use_distances=False,
+        conservative=True,
+    )
+    assert resolve_fused_mode(small, "auto", 8, "tpu") == "cl"
+
+
 def test_sharded_langevin_diffusion_driver(mesh):
     """LangevinDiffusion(mesh=...) — the production driver path — places its
     integrator state on the mesh."""

@@ -58,6 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 score-net compute in the Langevin loop "
                         "(~1.4x; physics-validated, docs/PERF_NOTES.md)")
     p.add_argument("--fused", type=str, default="never",
+                   choices=["never", "auto", "cl", "clx", "always"],
                    help="fused Pallas force path: never | auto | cl | clx | "
                         "always (cl = N<=10 mega-kernel, clx = large-N "
                         "attention-core path; compiles cached persistently)")

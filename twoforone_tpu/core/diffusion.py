@@ -297,12 +297,15 @@ class GaussianDiffusion:
         from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
         from twoforone_tpu.ops.fused_score_clx import CLX_MAX_N, CLX_MIN_CHAINS
 
+        from twoforone_tpu.parallel.mesh import mesh_size
+
         m = self.model
         # Same gating as dynamics/langevin.py: the mega-kernel in its
         # verified N <= 10 range; the attention-core clx path in its
-        # measured win region (N <= 32, batch >= 256 — iid batches usually
-        # qualify); the packed kernel for non-production edge configs;
-        # plain XLA (signalled by kernel="xla") where it measured fastest.
+        # measured win region (N <= 32, >= 256 chains PER DEVICE — under a
+        # mesh each device samples batch/mesh_size); the packed kernel for
+        # non-production edge configs; plain XLA (signalled by kernel="xla")
+        # where it measured fastest.
         cl_supported = (
             m.conservative and m.use_intrinsic_coords
             and not m.use_abs_coords and not m.use_distances
@@ -313,7 +316,7 @@ class GaussianDiffusion:
             elif (
                 cl_supported
                 and m.num_beads <= CLX_MAX_N
-                and batch_size >= CLX_MIN_CHAINS
+                and batch_size // mesh_size(mesh) >= CLX_MIN_CHAINS
             ):
                 kernel = "clx"
             elif cl_supported:
@@ -362,8 +365,6 @@ class GaussianDiffusion:
             def score_fn(x, t_norm_vec):
                 xp, b = pad_chains(x, block_chains)
                 return kern(xp, t_norm_vec[0])[:b]
-
-        from twoforone_tpu.parallel.mesh import mesh_size
 
         n_dev = mesh_size(mesh)
         if n_dev == 1:

@@ -24,6 +24,40 @@ from twoforone_tpu.data.molecules import AVOGADRO, JPERKCAL, KB, KBOLTZMANN
 from twoforone_tpu.dynamics.integrators import LangevinSimulation
 
 
+def resolve_fused_mode(model, fused: str, chains_per_dev, backend: str) -> str:
+    """Resolve ``fused="auto"`` to a concrete force path from the measured
+    win regimes (docs/PERF_NOTES.md): the chain-lane mega-kernel is 2.4-4x
+    at N <= 10; beyond that Mosaic cannot compile it (register spill slots)
+    and the attention-core clx path wins up to bba size from ~256 chains
+    PER DEVICE (1.36x trp_cage / 1.12x bba at 1024 chains); at
+    villin/protein_g the plain XLA geometric path is the fastest measured
+    option. Force with fused="cl"/"clx" to experiment outside these.
+    Explicit (non-"auto") values pass through untouched."""
+    if fused != "auto":
+        return fused
+
+    from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
+    from twoforone_tpu.ops.fused_score_clx import CLX_MAX_N, CLX_MIN_CHAINS
+
+    supported = (
+        getattr(model, "conservative", False)
+        and model.use_intrinsic_coords
+        and not model.use_abs_coords
+        and not model.use_distances
+    )
+    if backend in ("cpu",) or not supported:
+        return "never"
+    if model.num_beads <= VERIFIED_MAX_N:
+        return "cl"
+    if (
+        model.num_beads <= CLX_MAX_N
+        and chains_per_dev is not None
+        and chains_per_dev >= CLX_MIN_CHAINS
+    ):
+        return "clx"
+    return "never"
+
+
 def make_diffusion_force_fn(
     diffusion: "GaussianDiffusion",  # noqa: F821
     params,
@@ -33,6 +67,8 @@ def make_diffusion_force_fn(
     fused_block: int = 128,
     bf16: bool = False,
     n_chains: Optional[int] = None,
+    mesh=None,
+    interpret: bool = False,
 ):
     """Build ``x -> (potential, forces)`` from a diffusion model at noise level t.
 
@@ -55,6 +91,12 @@ def make_diffusion_force_fn(
     (``n_chains``) from the measured win regimes, "never" keeps the plain
     XLA path. Mega-kernel Mosaic compiles can run minutes for full-size
     models (cached persistently afterwards — see utils/cache.py).
+
+    ``mesh``: when the chain axis is sharded over a multi-device mesh, the
+    Pallas paths are fanned out per device via shard_map (a pallas_call has
+    no GSPMD partitioning rule; the XLA path needs no wrapping). The auto
+    gate then compares the PER-DEVICE chain count against the measured win
+    thresholds — each device runs n_chains/mesh_size chains.
     """
     buf = diffusion.buffers
     sqrt_one_minus = float(buf.sqrt_one_minus_alphas_cumprod[t])
@@ -64,47 +106,43 @@ def make_diffusion_force_fn(
     if bf16:
         model = model.clone(dtype=jnp.bfloat16)
 
-    def _cl_supported():
-        m = diffusion.model
-        return (
-            getattr(m, "conservative", False)
-            and m.use_intrinsic_coords
-            and not m.use_abs_coords
-            and not m.use_distances
+    from twoforone_tpu.parallel.mesh import mesh_size
+
+    n_dev = mesh_size(mesh)
+    chains_per_dev = None if n_chains is None else n_chains // n_dev
+
+    def _shard_wrap(force_fn):
+        """Fan a single-device (Pallas) force fn out over the mesh's chain
+        axis. pallas_call has no GSPMD partitioning rule, so jitting it over
+        sharded operands would gather/replicate; shard_map runs the kernel
+        per device on its local chains (embarrassingly parallel, zero
+        collectives — the design the iid path uses, core/diffusion.py
+        make_fused_sample_fn)."""
+        if n_dev == 1:
+            return force_fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation; the body is per-device-independent by construction.
+        return jax.shard_map(
+            force_fn, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis)), check_vma=False,
         )
 
-    mode = fused
-    if fused == "auto":
-        import jax
+    import jax
 
-        from twoforone_tpu.ops.fused_score_cl import VERIFIED_MAX_N
-        from twoforone_tpu.ops.fused_score_clx import CLX_MAX_N, CLX_MIN_CHAINS
-
-        if jax.default_backend() in ("cpu",):
-            mode = "never"
-        elif not _cl_supported():
-            mode = "never"
-        # Measured win regimes (docs/PERF_NOTES.md): the mega-kernel is
-        # 2.4-4x at N <= 10; beyond that Mosaic cannot compile it (register
-        # spill slots) and the attention-core clx path wins up to bba size
-        # from ~256 chains (1.36x trp_cage / 1.12x bba at 1024 chains); at
-        # villin/protein_g the XLA geometric path is the fastest measured
-        # option. Force with fused="cl"/"clx" to experiment outside these.
-        elif diffusion.model.num_beads <= VERIFIED_MAX_N:
-            mode = "cl"
-        elif (
-            diffusion.model.num_beads <= CLX_MAX_N
-            and n_chains is not None
-            and n_chains >= CLX_MIN_CHAINS
-        ):
-            mode = "clx"
-        else:
-            mode = "never"
+    mode = resolve_fused_mode(
+        diffusion.model, fused, chains_per_dev, jax.default_backend()
+    )
 
     if mode == "clx":
         from twoforone_tpu.ops.fused_score_clx import make_clx_force_fn
 
-        clx = make_clx_force_fn(diffusion.model, params, t_norm)
+        clx = make_clx_force_fn(
+            diffusion.model, params, t_norm, interpret=interpret
+        )
 
         def force_fn(x):
             eps_hat = clx(x)
@@ -112,7 +150,7 @@ def make_diffusion_force_fn(
             potential = jnp.zeros((x.shape[0],), dtype=jnp.float32)
             return potential, forces
 
-        return force_fn
+        return _shard_wrap(force_fn)
 
     if mode == "cl":
         from twoforone_tpu.ops.fused_score import pad_chains
@@ -123,7 +161,8 @@ def make_diffusion_force_fn(
         )
 
         kernel = make_fused_force_kernel_cl(
-            model, params, t_norm, **auto_opts(model.num_beads)
+            model, params, t_norm, interpret=interpret,
+            **auto_opts(model.num_beads)
         )
 
         def force_fn(x):
@@ -134,13 +173,14 @@ def make_diffusion_force_fn(
             potential = jnp.zeros((b,), dtype=jnp.float32)
             return potential, forces
 
-        return force_fn
+        return _shard_wrap(force_fn)
 
     if mode == "always":
         from twoforone_tpu.ops.fused_score import make_fused_force_kernel, pad_chains
 
         kernel = make_fused_force_kernel(
-            model, params, t_norm, block_chains=fused_block
+            model, params, t_norm, block_chains=fused_block,
+            interpret=interpret,
         )
 
         def force_fn(x):
@@ -151,7 +191,7 @@ def make_diffusion_force_fn(
             potential = jnp.zeros((b,), dtype=jnp.float32)
             return potential, forces
 
-        return force_fn
+        return _shard_wrap(force_fn)
 
     from twoforone_tpu.models.graph_transformer import make_score_fn
 
@@ -221,7 +261,7 @@ class LangevinDiffusion:
         force_fn = make_diffusion_force_fn(
             diffusion, params, t, kbt_inv=self.kb_inv / temp_data,
             fused=fused, fused_block=fused_block, bf16=bf16,
-            n_chains=init_sample.shape[0],
+            n_chains=init_sample.shape[0], mesh=mesh,
         )
 
         if friction is None:
