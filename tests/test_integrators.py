@@ -82,6 +82,37 @@ def test_chunking_is_invisible():
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_auto_chunk_walltime_calibration():
+    """Auto chunking probes per-step cost and sizes dispatches to the
+    wall-time budget without changing the trajectory (the RPC-deadline
+    guard for tunneled TPU runtimes)."""
+    kwargs = dict(
+        force_fn=harmonic_force(),
+        initial_coordinates=_init(8),
+        dt=0.01,
+        beta=1.0,
+        friction=None,
+        length=400,
+        save_interval=20,
+        random_seed=3,
+    )
+    ref = LangevinSimulation(steps_per_chunk=400, **kwargs).simulate()
+    # Zero budget -> after the probe calibrates, every chunk collapses to
+    # one save period (the minimum dispatch).
+    sim = LangevinSimulation(target_chunk_seconds=1e-9, **kwargs)
+    out = sim.simulate()
+    np.testing.assert_array_equal(out, ref)
+    assert sim._per_step_s is not None and sim._per_step_s > 0
+    assert 1 in sim._seen_chunk_sizes  # budget clamped chunks to 1 save period
+    # A second simulate() on a fresh-but-calibrated sim skips the probe:
+    # only the budget-sized chunk (and a final partial) are dispatched.
+    sim2 = LangevinSimulation(target_chunk_seconds=1e-9, **kwargs)
+    sim2._per_step_s = sim._per_step_s
+    out2 = sim2.simulate()
+    np.testing.assert_array_equal(out2, ref)
+    assert sim2._seen_chunk_sizes == {1}
+
+
 def test_resume_matches_single_run():
     """Two simulate(sub_interval) calls == one simulate() call state-wise."""
     kwargs = dict(

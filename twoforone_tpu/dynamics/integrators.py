@@ -89,6 +89,13 @@ class LangevinSimulation:
     log_type: str = "write"
     filename: Optional[str] = None
     steps_per_chunk: Optional[int] = None  # host-offload granularity
+    # Wall-time budget per device dispatch when steps_per_chunk is auto
+    # (None). A single dispatch that runs for minutes can exceed the RPC
+    # deadline of a tunneled TPU runtime and take the worker down
+    # ("TPU worker process crashed or restarted" — observed at ~200 s
+    # dispatches; <= ~70 s is reliably fine). Auto chunking probes the
+    # per-step cost and sizes chunks to stay under this budget.
+    target_chunk_seconds: float = 45.0
     # Optional harmonic position restraint F += -k x (framework extension, no
     # reference equivalent): bounds trajectories driven by unphysical force
     # fields (untrained nets in benchmarks) and supports umbrella-style tethers.
@@ -191,6 +198,8 @@ class LangevinSimulation:
         self._npy_file_index = 0
         self._simulated = False
         self._chunk_fn = None
+        self._per_step_s = None  # steady-state s/step, calibrated on first run
+        self._seen_chunk_sizes = set()  # n_saves values already compiled
 
     # ------------------------------------------------------------------ state
     def _place(self, arr):
@@ -341,12 +350,29 @@ class LangevinSimulation:
             betas_all = np.full(sub_interval, self.beta, dtype=np.float32)
 
         steps_per_chunk = self.steps_per_chunk
-        if steps_per_chunk is None:
-            # Default: bound device-resident saved frames to ~2^16 per chunk.
+        auto_chunk = steps_per_chunk is None
+        if auto_chunk:
+            # Memory cap: bound device-resident saved frames to ~2^16 per
+            # chunk. The wall-time calibration in the drive loop below further
+            # shrinks this for slow configs (see target_chunk_seconds).
             saves_per_chunk = max(1, min(sub_interval // self.save_interval, 65536 // max(1, self.n_sims)))
             steps_per_chunk = saves_per_chunk * self.save_interval
         steps_per_chunk -= steps_per_chunk % self.save_interval
         steps_per_chunk = max(self.save_interval, steps_per_chunk)
+
+        def _fit_to_budget(per_step_s):
+            cap = int(self.target_chunk_seconds / max(per_step_s, 1e-9))
+            cap = (cap // self.save_interval) * self.save_interval
+            return max(self.save_interval, min(steps_per_chunk, cap))
+
+        # Auto chunks never issue the full-size dispatch blind: until a
+        # compile-free dispatch has measured the per-step cost, stay at a
+        # small probe size (the probe advances the trajectory — no work is
+        # wasted). Calibration persists across simulate() calls.
+        probe_steps = min(steps_per_chunk, 2 * self.save_interval)
+        budget_steps = (
+            _fit_to_budget(self._per_step_s) if self._per_step_s is not None else None
+        )
 
         remaining = min(sub_interval, self.length - self._t)
         total_saves = remaining // self.save_interval
@@ -366,10 +392,19 @@ class LangevinSimulation:
         save_idx = 0
         export_start = 0
         while done < remaining:
-            chunk = min(steps_per_chunk, remaining - done)
+            if not auto_chunk:
+                chunk = steps_per_chunk
+            elif budget_steps is not None:
+                chunk = budget_steps
+            else:
+                chunk = probe_steps
+            chunk = min(chunk, remaining - done)
             n_saves = chunk // self.save_interval
+            compile_free = n_saves in self._seen_chunk_sizes
+            self._seen_chunk_sizes.add(n_saves)
             period_offset = self._t // self.save_interval
             betas = jnp.asarray(betas_all[done : done + chunk])
+            t0 = time.perf_counter()
             x, v, saved = self._chunk_fn(
                 x, v, self._key, jnp.int32(period_offset), betas, n_saves=n_saves
             )
@@ -384,6 +419,19 @@ class LangevinSimulation:
                 potential_out[sl] = pot
             if ke_out is not None:
                 ke_out[sl] = np.asarray(saved["kinetic_energy"])
+            elapsed = time.perf_counter() - t0
+            if auto_chunk and compile_free:
+                # Compile-free dispatch == clean per-step measurement. First
+                # one calibrates; later ones only shrink the chunk if cost
+                # drifted well above the budget (re-growing would recompile
+                # for little gain).
+                measured = elapsed / max(1, chunk)
+                if budget_steps is None:
+                    self._per_step_s = measured
+                    budget_steps = _fit_to_budget(measured)
+                elif elapsed > 1.5 * self.target_chunk_seconds:
+                    self._per_step_s = measured
+                    budget_steps = _fit_to_budget(measured)
             done += chunk
             save_idx += n_saves
             self._t += chunk
