@@ -116,6 +116,13 @@ CHAIN_CONTROL_PRESETS = {
     20: dict(pdb="2JOF-0-c-alpha.pdb", mol="TRP_CAGE", hidden_nf=128,
              n_layers=3, learning_rate=4e-4, t_noise=15, temp=290.0,
              n_slow=4, components_seed=11),
+    # villin/2F4K (35 CA beads): the size regime where fused="auto" resolves
+    # to the plain-XLA geometric force path (the fastest measured option
+    # there, docs/PERF_NOTES.md) — so this control physics-validates the
+    # third and last production force path with trained weights.
+    35: dict(pdb="2F4K-0-c-alpha.pdb", mol="VILLIN", hidden_nf=128,
+             n_layers=3, learning_rate=4e-4, t_noise=5, temp=360.0,
+             n_slow=4, components_seed=12),
 }
 
 
@@ -244,7 +251,7 @@ def run_chain_control(
         seed=seed,
     )
     trainer = Trainer(gd, (trainset, valset, testset), preset["mol"].lower(),
-                      cfg, use_tensorboard=False)
+                      cfg, use_tensorboard=False, evaluators=False)
     trainer.train()
     trainer.save("final")
 

@@ -80,7 +80,14 @@ class Trainer:
         config,
         mesh=None,
         use_tensorboard: bool = True,
+        evaluators: bool = True,
     ):
+        # ``evaluators=False`` skips the per-molecule Evaluator machinery
+        # (golden-reference TIC/PWD/dihedral scoring) while keeping the loss
+        # eval, checkpointing, and sample export. Used by the synthetic
+        # production controls (train/positive_control.py), which score with
+        # their own ground-truth-aware scorer — and whose molecules (e.g.
+        # villin) may have no golden TICA pickle to borrow.
         self.gd = diffusion_model
         self.config = config
         self.mol_name = mol_name
@@ -138,20 +145,22 @@ class Trainer:
             except ImportError:
                 pass
 
-        self.evaluator_val = Evaluator(
-            self.val_data,
-            self.train_data.topology,
-            mol_name=mol_name,
-            eval_folder=self.results_folder,
-            data_folder=config.data_folder,
-        )
-        self.evaluator_test = Evaluator(
-            self.test_data,
-            self.train_data.topology,
-            mol_name=mol_name,
-            eval_folder=self.results_folder,
-            data_folder=config.data_folder,
-        )
+        self.evaluator_val = self.evaluator_test = None
+        if evaluators:
+            self.evaluator_val = Evaluator(
+                self.val_data,
+                self.train_data.topology,
+                mol_name=mol_name,
+                eval_folder=self.results_folder,
+                data_folder=config.data_folder,
+            )
+            self.evaluator_test = Evaluator(
+                self.test_data,
+                self.train_data.topology,
+                mol_name=mol_name,
+                eval_folder=self.results_folder,
+                data_folder=config.data_folder,
+            )
 
         # State
         key = jax.random.PRNGKey(config.seed)
@@ -395,12 +404,13 @@ class Trainer:
                     np.asarray(self.val_data.data), val_iters, val_key
                 )
                 sampled_mol = self.sample(cfg.num_samples, key=samp_key)
-                results = self.evaluator_val.eval(
-                    sampled_mol, milestone=f"{milestone}_iid", save_plots=True
-                )
-                if self.writer is not None:
-                    for k, v in results.items():
-                        self.writer.add_scalar(k, v, step)
+                if self.evaluator_val is not None:
+                    results = self.evaluator_val.eval(
+                        sampled_mol, milestone=f"{milestone}_iid", save_plots=True
+                    )
+                    if self.writer is not None:
+                        for k, v in results.items():
+                            self.writer.add_scalar(k, v, step)
 
                 new_best = val_loss < self.best_val_loss
                 self.best_val_loss = val_loss if new_best else self.best_val_loss
@@ -427,17 +437,18 @@ class Trainer:
         if "alanine" not in self.mol_name:
             self._save_samples(sampled_mol, "final_iid")
 
-        results_val = self.evaluator_val.eval(
-            sampled_mol, milestone="final_iid_val", save_plots=True
-        )
-        results_test = self.evaluator_test.eval(
-            sampled_mol, milestone="final_iid_test", save_plots=False
-        )
-        if self.writer is not None:
-            for k, v in results_val.items():
-                self.writer.add_scalar(k + "_FINAL_iid_val", v)
-            for k, v in results_test.items():
-                self.writer.add_scalar(k + "_FINAL_iid_test", v)
+        if self.evaluator_val is not None:
+            results_val = self.evaluator_val.eval(
+                sampled_mol, milestone="final_iid_val", save_plots=True
+            )
+            results_test = self.evaluator_test.eval(
+                sampled_mol, milestone="final_iid_test", save_plots=False
+            )
+            if self.writer is not None:
+                for k, v in results_val.items():
+                    self.writer.add_scalar(k + "_FINAL_iid_val", v)
+                for k, v in results_test.items():
+                    self.writer.add_scalar(k + "_FINAL_iid_test", v)
 
         if cfg.eval_langevin:
             self._langevin_eval(key)
@@ -475,6 +486,8 @@ class Trainer:
                 ("val", self.evaluator_val, True),
                 ("test", self.evaluator_test, False),
             ):
+                if evaluator is None:
+                    continue
                 results = evaluator.eval(
                     sampled_mol,
                     milestone=f"final_langevin_tdiff{t_diff}_{evalname}",
