@@ -123,6 +123,12 @@ CHAIN_CONTROL_PRESETS = {
     35: dict(pdb="2F4K-0-c-alpha.pdb", mol="VILLIN", hidden_nf=128,
              n_layers=3, learning_rate=4e-4, t_noise=5, temp=360.0,
              n_slow=4, components_seed=12),
+    # protein G / NuG2 (56 CA beads, the largest shipped system; XLA
+    # geometric force path). The shipped protein_g config trains at batch
+    # 256 (SURVEY "shipped model config"), carried in the preset.
+    56: dict(pdb="NuG2-0-c-alpha.pdb", mol="PROTEIN_G", hidden_nf=128,
+             n_layers=3, learning_rate=4e-4, t_noise=5, temp=350.0,
+             n_slow=5, components_seed=13, batch_size=256),
 }
 
 
@@ -130,7 +136,7 @@ def run_chain_control(
     n_beads: int = 10,
     train_iter: int = 50000,
     n_data: int = 400000,
-    batch_size: int = 512,
+    batch_size: int = None,
     hidden_nf: int = None,
     n_layers: int = None,
     learning_rate: float = None,
@@ -187,6 +193,8 @@ def run_chain_control(
     )
     t_noise = preset["t_noise"] if t_noise is None else t_noise
     temp = preset["temp"]
+    if batch_size is None:
+        batch_size = preset.get("batch_size", 512)
     if preset["components_seed"] is None:
         components = CHAIN10_TORSION_COMPONENTS
     else:
