@@ -297,7 +297,7 @@ def auto_opts(num_beads: int) -> dict:
 
     N <= 10 (ala2, chignolin): the round-2 configuration — 4D attention
     slabs, whole-energy remat — compiles and wins. Larger N (trp_cage 20,
-    bba 28, villin 33, protein_g 56): the 4D slabs blow the 128MB VMEM
+    bba 28, villin 35, protein_g 56): the 4D slabs blow the 128MB VMEM
     budget, so the loop-over-i formulation with row-scope hierarchical
     remat is used (layer+head+row recompute bounds the backward live set).
     """

@@ -36,7 +36,7 @@ from twoforone_tpu.ops.fused_score_cl import _augment_params_cl
 
 # Measured win regime vs the XLA geometric path (scripts/bench_cl_proteins.py
 # at 1024 chains, docs/PERF_NOTES.md "Round 3"): trp_cage (N=20) 1.36x,
-# bba (N=28) 1.12x, villin (N=33; measured at 35) 0.95x, protein_g (N=56)
+# bba (N=28) 1.12x, villin (N=35: 33 ATOM + 2 NLE HETATM CAs) 0.95x, protein_g (N=56)
 # fori_loop attention core's VPU work grows as N^2 while the XLA path's
 # MXU-matmul fraction amortizes its lane padding, so clx wins in the middle
 # of the size range and the XLA geometric path stays fastest at the top.
