@@ -212,11 +212,17 @@ def main():
             },
             "langevin_steps_per_sec_chip_trp_cage_parallel1000": {
                 "value": round(sps_trp, 2), "unit": "steps/s",
-                "vs_baseline": None,
+                "vs_baseline": ratio(
+                    sps_trp,
+                    "langevin_steps_per_sec_cpu_torch_trp_cage_parallel1000",
+                ),
             },
             "langevin_steps_per_sec_chip_protein_g_parallel1000": {
                 "value": round(sps_pg, 2), "unit": "steps/s",
-                "vs_baseline": None,
+                "vs_baseline": ratio(
+                    sps_pg,
+                    "langevin_steps_per_sec_cpu_torch_protein_g_parallel1000",
+                ),
             },
         },
     }))

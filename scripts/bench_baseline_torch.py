@@ -2,13 +2,17 @@
 
 The reference repo publishes no benchmark numbers (no benchmarks/ dir; see
 BASELINE.md), so the denominator for bench.py's ``vs_baseline`` is measured
-here: a torch implementation of the same workload — chignolin-config graph
-transformer (nf=64, 3 layers, conservative forces via autograd) driving
-BAOA(F)B Langevin with parallel_sim chains, one force evaluation per step,
-exactly the reference's per-step Python loop structure
-(dynamics/langevin_cgnet.py:737-771).
+here: a torch implementation of the same workload — shipped-config graph
+transformer (conservative forces via autograd) driving BAOA(F)B Langevin
+with parallel_sim chains, one force evaluation per step, exactly the
+reference's per-step Python loop structure
+(dynamics/langevin_cgnet.py:737-771). Chignolin (the north-star config) is
+measured at both chain counts plus the iid reverse chain; trp_cage and
+protein_g give the denominators for bench.py's other-protein rows.
 
-Writes BASELINE_MEASURED.json at the repo root. Run once per machine:
+Measure on an OTHERWISE IDLE host (concurrent jobs understate the baseline
+and flatter the TPU ratios). Writes BASELINE_MEASURED.json at the repo
+root. Run once per machine:
     python scripts/bench_baseline_torch.py
 """
 
@@ -18,10 +22,8 @@ import os
 import time
 
 import torch
-import torch.nn.functional as F
 
-N_BEADS, HIDDEN, LAYERS, HEADS, DIM_HEAD = 10, 64, 3, 8, 64
-INNER = HEADS * DIM_HEAD
+HEADS, DIM_HEAD = 8, 64
 PARALLEL_SIM = 100
 WARMUP, TIMED = 3, 15
 # The formal target configuration (BASELINE.json: ">=50x CPU-reference
@@ -33,18 +35,27 @@ WARMUP_FORMAL, TIMED_FORMAL = 1, 5
 # chain = one net forward per step; samples/s extrapolates from per-step time.
 IID_BATCH, IID_TIMESTEPS = 256, 1000
 IID_WARMUP, IID_TIMED = 2, 6
+# Shipped model shapes (SURVEY "shipped model config") for the proteins
+# bench.py reports: (num_beads, hidden_nf, n_layers).
+SHAPES = {
+    "chignolin": (10, 64, 3),
+    "trp_cage": (20, 128, 3),
+    "protein_g": (56, 128, 3),
+}
 
 
 class Attention(torch.nn.Module):
-    def __init__(self):
+    def __init__(self, hidden):
         super().__init__()
-        self.to_q = torch.nn.Linear(HIDDEN, INNER)
-        self.to_kv = torch.nn.Linear(HIDDEN, 2 * INNER)
-        self.edges_to_kv = torch.nn.Linear(HIDDEN, INNER)
-        self.to_out = torch.nn.Linear(INNER, HIDDEN)
+        inner = HEADS * DIM_HEAD
+        self.to_q = torch.nn.Linear(hidden, inner)
+        self.to_kv = torch.nn.Linear(hidden, 2 * inner)
+        self.edges_to_kv = torch.nn.Linear(hidden, inner)
+        self.to_out = torch.nn.Linear(inner, hidden)
 
     def forward(self, nodes, edges):
         b, n, _ = nodes.shape
+        inner = HEADS * DIM_HEAD
         q = self.to_q(nodes)
         k, v = self.to_kv(nodes).chunk(2, dim=-1)
         ekv = self.edges_to_kv(edges)
@@ -61,22 +72,22 @@ class Attention(torch.nn.Module):
         sim = torch.einsum("bid,bijd->bij", qh, kfull) * DIM_HEAD**-0.5
         attn = sim.softmax(dim=-1)
         out = torch.einsum("bij,bijd->bid", attn, vfull)
-        out = out.reshape(b, HEADS, n, DIM_HEAD).movedim(1, 2).reshape(b, n, INNER)
+        out = out.reshape(b, HEADS, n, DIM_HEAD).movedim(1, 2).reshape(b, n, inner)
         return self.to_out(out)
 
 
 class Block(torch.nn.Module):
-    def __init__(self):
+    def __init__(self, hidden):
         super().__init__()
-        self.norm1 = torch.nn.LayerNorm(HIDDEN)
-        self.attn = Attention()
-        self.gate1 = torch.nn.Linear(3 * HIDDEN, 1, bias=False)
-        self.norm2 = torch.nn.LayerNorm(HIDDEN)
+        self.norm1 = torch.nn.LayerNorm(hidden)
+        self.attn = Attention(hidden)
+        self.gate1 = torch.nn.Linear(3 * hidden, 1, bias=False)
+        self.norm2 = torch.nn.LayerNorm(hidden)
         self.ff = torch.nn.Sequential(
-            torch.nn.Linear(HIDDEN, 4 * HIDDEN), torch.nn.GELU(),
-            torch.nn.Linear(4 * HIDDEN, HIDDEN),
+            torch.nn.Linear(hidden, 4 * hidden), torch.nn.GELU(),
+            torch.nn.Linear(4 * hidden, hidden),
         )
-        self.gate2 = torch.nn.Linear(3 * HIDDEN, 1, bias=False)
+        self.gate2 = torch.nn.Linear(3 * hidden, 1, bias=False)
 
     def forward(self, nodes, edges):
         a = self.attn(self.norm1(nodes), edges)
@@ -88,14 +99,15 @@ class Block(torch.nn.Module):
 
 
 class ScoreNet(torch.nn.Module):
-    """Chignolin shipped config: intrinsic coords, conservative energies."""
+    """Shipped config: intrinsic coords, conservative energies."""
 
-    def __init__(self):
+    def __init__(self, n_beads, hidden, layers):
         super().__init__()
-        self.node_embedding = torch.nn.Linear(N_BEADS + 1, HIDDEN)
-        self.edge_embedding = torch.nn.Linear(3, HIDDEN)
-        self.blocks = torch.nn.ModuleList([Block() for _ in range(LAYERS)])
-        self.node_decoder = torch.nn.Linear(HIDDEN, 1)
+        self.n_beads = n_beads
+        self.node_embedding = torch.nn.Linear(n_beads + 1, hidden)
+        self.edge_embedding = torch.nn.Linear(3, hidden)
+        self.blocks = torch.nn.ModuleList([Block(hidden) for _ in range(layers)])
+        self.node_decoder = torch.nn.Linear(hidden, 1)
 
     def forward(self, x, t):
         x = x - x.mean(dim=1, keepdim=True)
@@ -114,7 +126,7 @@ class ScoreNet(torch.nn.Module):
 
 
 def measure_langevin(net, parallel_sim, warmup, timed):
-    x = torch.randn(parallel_sim, N_BEADS, 3)
+    x = torch.randn(parallel_sim, net.n_beads, 3)
     v = torch.zeros_like(x)
     dt, friction, mass, kbt = 2e-3, 1.0, 12.0, 0.1
     vscale = math.exp(-dt * friction)
@@ -143,7 +155,7 @@ def measure_iid(net):
     """Reverse-chain sampling rate: one score-net call per timestep
     (reference models/ddpm.py p_sample loop) + O(B*N) coefficient math that
     is negligible next to the net forward; samples/s = B / (T * per_step)."""
-    x = torch.randn(IID_BATCH, N_BEADS, 3)
+    x = torch.randn(IID_BATCH, net.n_beads, 3)
 
     def rev_step(x, t_val):
         t_norm = torch.full((IID_BATCH,), t_val)
@@ -161,7 +173,8 @@ def measure_iid(net):
 
 def main():
     torch.manual_seed(0)
-    net = ScoreNet().eval()
+    n, nf, layers = SHAPES["chignolin"]
+    net = ScoreNet(n, nf, layers).eval()
 
     steps_per_sec = measure_langevin(net, PARALLEL_SIM, WARMUP, TIMED)
     steps_per_sec_formal = measure_langevin(
@@ -177,10 +190,18 @@ def main():
             "mol": "chignolin", "parallel_sim": PARALLEL_SIM,
             "parallel_sim_formal": PARALLEL_SIM_FORMAL,
             "iid_batch": IID_BATCH, "iid_timesteps": IID_TIMESTEPS,
-            "hidden_nf": HIDDEN, "n_layers": LAYERS, "conservative": True,
+            "hidden_nf": nf, "n_layers": layers, "conservative": True,
             "device": "cpu", "torch": torch.__version__,
         },
     }
+    # Denominators for bench.py's other-protein rows (timed budgets shrink
+    # with the per-step cost; still >=1 min of steady-state each).
+    for mol, (warm, timed) in (("trp_cage", (1, 4)), ("protein_g", (1, 2))):
+        n, nf, layers = SHAPES[mol]
+        net = ScoreNet(n, nf, layers).eval()
+        out[f"langevin_steps_per_sec_cpu_torch_{mol}_parallel1000"] = (
+            measure_langevin(net, PARALLEL_SIM_FORMAL, warm, timed)
+        )
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BASELINE_MEASURED.json")
     with open(path, "w") as f:
