@@ -33,6 +33,12 @@ def main():
     p.add_argument("--train_iter", type=int, default=None)
     p.add_argument("--fused", type=str, default="auto")
     p.add_argument("--stage_artifact", type=lambda v: v != "false", default=True)
+    # Crash resilience for long tunneled-TPU runs: checkpoint every
+    # eval_interval steps into a stable folder and resume from the last
+    # milestone on relaunch.
+    p.add_argument("--results_folder", type=str, default=None)
+    p.add_argument("--eval_interval", type=int, default=10000)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
     from twoforone_tpu.utils.cache import enable_compilation_cache
@@ -40,7 +46,11 @@ def main():
     enable_compilation_cache()
     from twoforone_tpu.train.positive_control import run_chain_control
 
-    kwargs = dict(n_beads=args.n_beads, fused=args.fused)
+    kwargs = dict(n_beads=args.n_beads, fused=args.fused,
+                  eval_interval=args.eval_interval, resume=args.resume)
+    if args.results_folder:
+        os.makedirs(args.results_folder, exist_ok=True)
+        kwargs["results_folder"] = args.results_folder
     if args.quick:
         kwargs.update(
             train_iter=8000, n_data=120000, num_samples=20000,

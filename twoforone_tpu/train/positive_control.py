@@ -151,6 +151,8 @@ def run_chain_control(
     timesteps: int = 1000,
     fused: str = "never",
     eval_samples: int = 50000,
+    eval_interval: int = None,
+    resume: bool = False,
 ) -> dict:
     """Production-SCALE positive control at a shipped protein size: the
     reference's model shape for that protein trained at production scale on
@@ -250,7 +252,12 @@ def run_chain_control(
         learning_rate=learning_rate,
         min_lr_cosine_anneal=1e-5,
         train_iter=train_iter,
-        eval_interval=train_iter,  # no mid-train eval; final save still runs
+        # Default: no mid-train eval (final save still runs). Long TPU runs
+        # pass eval_interval (+ resume=True with a stable results_folder) so
+        # a worker crash resumes from the last milestone instead of
+        # retraining from scratch (tunneled TPU fleets do go down mid-run).
+        eval_interval=eval_interval or train_iter,
+        start_from_last_saved=resume,
         log_tensorboard_interval=500,
         steps_per_host_loop=50,
         num_samples=min(2048, num_samples),
