@@ -150,11 +150,16 @@ def main(argv=None):
     mesh = get_mesh() if len(jax.devices()) > 1 else None
     key = jax.random.PRNGKey(samp_args.seed)
     batch = round_to_mesh(samp_args.batch_size_gen, mesh)
+    # Chains are padded up to a mesh multiple so every device carries the
+    # same shard; the padding chains are simulated and then dropped, so the
+    # user-visible output has exactly --parallel_sim chains (reference
+    # semantics, sample.py:204-214).
+    sim_requested = samp_args.parallel_sim
+    sim_padded = round_to_mesh(sim_requested, mesh)
     if mesh is not None:
         n_dev = len(jax.devices())
-        samp_args.parallel_sim = round_to_mesh(samp_args.parallel_sim, mesh)
         print(f"Sharding over {n_dev} devices "
-              f"(batch {batch}, parallel_sim {samp_args.parallel_sim})")
+              f"(batch {batch}, parallel_sim {sim_padded})")
     # Resolve --fused for iid mode with the same backend gate as the Langevin
     # path (dynamics/langevin.py): "auto" on a CPU host keeps the standard XLA
     # path instead of building a non-interpret Pallas TPU kernel.
@@ -179,12 +184,12 @@ def main(argv=None):
             driver, samp_args.num_samples_eval, batch, key=key, verbose=True
         )
     elif samp_args.gen_mode == "langevin":
-        n_save = int(samp_args.parallel_sim * samp_args.n_timesteps / samp_args.save_interval)
+        n_save = int(sim_requested * samp_args.n_timesteps / samp_args.save_interval)
         print(f"Total number of samples to save using Langevin Dynamics: {n_save}")
         # Initial states: i.i.d. samples from the same model (paper procedure
         # when data is unavailable, reference sample.py:196-214).
         init_mol = sample_from_model(
-            driver, samp_args.parallel_sim, batch, key=key, verbose=True
+            driver, sim_padded, batch, key=key, verbose=True
         )
         masses = samp_args.masses
         if masses is None:
@@ -221,6 +226,13 @@ def main(argv=None):
             )
             print(f"Tempering ramp enabled: reference_temp={reference_temp} K")
         sampled_mol = sampler.sample(reference_temp=reference_temp)
+        if sim_padded != sim_requested:
+            # Drop the padding chains: sample() returns chains-major
+            # (n_sims * n_saves, beads, 3).
+            sampled_mol = np.asarray(sampled_mol)
+            sampled_mol = sampled_mol.reshape(
+                sim_padded, -1, *sampled_mol.shape[1:]
+            )[:sim_requested].reshape(-1, *sampled_mol.shape[1:])
     else:
         raise ValueError("Wrong argument 'gen_mode'")
 
