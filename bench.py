@@ -155,7 +155,38 @@ def _load_trained_params(gd, n_beads=10):
     )
 
 
+def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):
+    """Block until the accelerator backend is claimable, up to ~1 h.
+
+    The TPU pool behind the tunnel can be transiently UNAVAILABLE; a failed
+    in-process init is cached by jax, so probe in a subprocess and only
+    initialize in-process once a probe has succeeded. Gives up (and lets the
+    in-process init raise the real error) after ``max_tries`` probes.
+    """
+    import subprocess
+    import sys
+
+    for i in range(max_tries):
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=try_timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            # Blocked in the claim queue: the pool exists but is contended —
+            # proceed and let the real init wait its turn.
+            return
+        if rc == 0:
+            return
+        print(f"# backend unavailable (probe {i + 1}/{max_tries}); "
+              "retrying in 60 s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from twoforone_tpu.utils.cache import enable_compilation_cache
