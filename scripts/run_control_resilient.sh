@@ -2,15 +2,42 @@
 # Run a production control with crash resilience: each attempt resumes from
 # the last checkpoint milestone (scripts/chain10_control.py --resume), so a
 # TPU-worker crash or RPC hang costs at most one eval_interval of training
-# plus the timed-out remainder of the attempt. Usage:
-#     run_control_resilient.sh <n_beads> [attempts] [per_attempt_timeout_s]
+# plus the timed-out remainder of the attempt. Before every attempt a cheap
+# subprocess probe (`jax.devices()`) waits out TPU-pool outages, so attempts
+# are only spent on runs that actually reached the device — a multi-hour
+# pool outage no longer exhausts the attempt budget. Usage:
+#     run_control_resilient.sh <n_beads> [attempts] [per_attempt_timeout_s] [probe_deadline_s]
 set -u
 N=$1
 ATTEMPTS=${2:-6}
 PER_TIMEOUT=${3:-9000}
+PROBE_DEADLINE=${4:-28800}   # give up probing after 8 h of continuous outage
 cd "$(dirname "$0")/.."
 FOLDER=/tmp/chain${N}_run
+
+wait_for_backend() {
+    # Probe in a subprocess (a failed in-process init is cached by jax).
+    # A probe that BLOCKS >300 s means the pool exists but is contended
+    # (claim queue) — proceed and let the real run wait its turn.
+    local start=$SECONDS
+    while true; do
+        timeout 300 /opt/venv/bin/python -c "import jax; jax.devices()" \
+            >/dev/null 2>&1
+        local rc=$?
+        if [ "$rc" -eq 0 ] || [ "$rc" -eq 124 ]; then
+            return 0
+        fi
+        if [ $((SECONDS - start)) -ge "$PROBE_DEADLINE" ]; then
+            echo "=== backend still unavailable after ${PROBE_DEADLINE}s of probing ===" >&2
+            return 1
+        fi
+        echo "=== backend unavailable $(date -u +%H:%M:%S); re-probing in 60 s ===" >&2
+        sleep 60
+    done
+}
+
 for i in $(seq 1 "$ATTEMPTS"); do
+    wait_for_backend || exit 1
     echo "=== attempt $i/$ATTEMPTS $(date -u +%H:%M:%S) ==="
     timeout "$PER_TIMEOUT" /opt/venv/bin/python -u scripts/chain10_control.py \
         --n_beads "$N" --results_folder "$FOLDER" --resume && exit 0
