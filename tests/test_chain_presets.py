@@ -21,6 +21,7 @@ _ASSETS = os.path.join(
 _SHIPPED = {
     10: (64, 3, 512),    # chignolin
     20: (128, 3, 512),   # trp_cage
+    28: (96, 3, 512),    # bba
     35: (128, 3, 512),   # villin (35 CAs: 33 ATOM + 2 NLE HETATM)
     56: (128, 3, 256),   # protein_g
 }

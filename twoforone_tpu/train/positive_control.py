@@ -116,6 +116,12 @@ CHAIN_CONTROL_PRESETS = {
     20: dict(pdb="2JOF-0-c-alpha.pdb", mol="TRP_CAGE", hidden_nf=128,
              n_layers=3, learning_rate=4e-4, t_noise=15, temp=290.0,
              n_slow=4, components_seed=11),
+    # bba/1FME (28 CA beads): upper end of the clx fused-path regime
+    # (CLX_MAX_N=32); the shipped bba config is the one production shape
+    # with hidden_nf=96 among the fast folders.
+    28: dict(pdb="1FME-0-c-alpha.pdb", mol="BBA", hidden_nf=96,
+             n_layers=3, learning_rate=4e-4, t_noise=5, temp=325.0,
+             n_slow=4, components_seed=14),
     # villin/2F4K (35 CA beads): the size regime where fused="auto" resolves
     # to the plain-XLA geometric force path (the fastest measured option
     # there, docs/PERF_NOTES.md) — so this control physics-validates the
