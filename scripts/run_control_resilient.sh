@@ -17,21 +17,25 @@ FOLDER=/tmp/chain${N}_run
 
 wait_for_backend() {
     # Probe in a subprocess (a failed in-process init is cached by jax).
-    # A probe that BLOCKS >300 s means the pool exists but is contended
-    # (claim queue) — proceed and let the real run wait its turn.
+    # When the pool is DOWN, backend init hangs in internal retries for
+    # ~25 min before raising UNAVAILABLE — so the probe must wait past
+    # that (1800 s) to get a real verdict. A probe that still hangs at
+    # 1800 s (rc=124) is treated as an outage too: control runs are
+    # serialized (watchers), so nothing of ours can legitimately hold the
+    # claim that long before this launcher starts.
     local start=$SECONDS
     while true; do
-        timeout 300 /opt/venv/bin/python -c "import jax; jax.devices()" \
+        timeout 1800 /opt/venv/bin/python -c "import jax; jax.devices()" \
             >/dev/null 2>&1
         local rc=$?
-        if [ "$rc" -eq 0 ] || [ "$rc" -eq 124 ]; then
+        if [ "$rc" -eq 0 ]; then
             return 0
         fi
         if [ $((SECONDS - start)) -ge "$PROBE_DEADLINE" ]; then
             echo "=== backend still unavailable after ${PROBE_DEADLINE}s of probing ===" >&2
             return 1
         fi
-        echo "=== backend unavailable $(date -u +%H:%M:%S); re-probing in 60 s ===" >&2
+        echo "=== backend unavailable (rc=$rc) $(date -u +%H:%M:%S); re-probing in 60 s ===" >&2
         sleep 60
     done
 }
