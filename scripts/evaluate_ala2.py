@@ -23,7 +23,15 @@ def main():
     p.add_argument("--fold", type=int, default=None, help="use fold-specific golden reference")
     p.add_argument("--evalset", default="testset", choices=["testset", "valset"])
     p.add_argument("--out", default="eval_ala2_out")
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="evaluation is host-side analysis; 'cpu' (default) "
+                        "avoids claiming an accelerator for dihedral math")
     args = p.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from twoforone_tpu.data.molecules import SAVED_REFERENCES_DIR
     from twoforone_tpu.evaluate.evaluators import DihedralEnergiesEvaluator

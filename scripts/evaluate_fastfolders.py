@@ -33,7 +33,15 @@ def main():
     p.add_argument("--lagtime", type=int, default=1,
                    help="transition-count lagtime in saved frames")
     p.add_argument("--n-clusters", type=int, default=4)
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="evaluation is host-side analysis; 'cpu' (default) "
+                        "avoids claiming an accelerator for feature math")
     args = p.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from twoforone_tpu.evaluate.evaluators import (
         ContactEvaluator,
@@ -62,7 +70,7 @@ def main():
         results["TIC JS"] = js
 
     # RMSD free energy vs golden reference curve
-    rmsd = RmsdEvaluator(mol)
+    rmsd = RmsdEvaluator(mol, eval_folder=args.out)
     if os.path.exists(rmsd.saved_ref):
         rmsd.eval("Reference", cutoff=rmsd.cutoff_ref, nbins=100)
     rmsd.eval("Sampled", samples, nbins=100, cutoff=rmsd.cutoff_ref)
