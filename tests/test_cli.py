@@ -75,6 +75,26 @@ def test_sample_cli_iid(trained_dir, data_folder):
     assert os.path.exists(os.path.join(eval_dir, "sample-iid.pdb"))
 
 
+def test_sample_cli_iid_ddim(trained_dir, data_folder):
+    """--sample_steps runs the strided DDIM reverse chain (8 score evals
+    instead of the full T) through the same CLI surface."""
+    from twoforone_tpu.cli.sample import main
+
+    out = main([
+        "--model_path", trained_dir,
+        "--gen_mode", "iid",
+        "--num_samples_eval", "6",
+        "--batch_size_gen", "4",
+        "--data_folder", data_folder,
+        "--sample_steps", "8",
+        "--ddim_eta", "0.5",
+        "--append_exp_name", "ddim",
+    ])
+    assert out.shape == (6, 5, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out).mean(axis=1), 0.0, atol=1e-3)
+
+
 def test_sample_cli_langevin(trained_dir):
     from twoforone_tpu.cli.sample import main
 

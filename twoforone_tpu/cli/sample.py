@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas force path: never | auto | cl | clx | "
                         "always (cl = N<=10 mega-kernel, clx = large-N "
                         "attention-core path; compiles cached persistently)")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="strided DDIM reverse chain with this many score "
+                        "evaluations instead of the full T (iid mode and "
+                        "langevin initial states; throughput ~T/steps). "
+                        "Default: full ancestral chain, reference behavior")
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="DDIM noise scale (0 = deterministic, 1 = ancestral "
+                        "noise level); only with --sample_steps")
     return p
 
 
@@ -172,11 +180,16 @@ def main(argv=None):
         # chain-lane kernel, "auto" picks per model config).
         kernel = {"always": "packed", "cl": "cl", "clx": "clx",
                   "auto": "auto"}[fused_mode]
-        fused_fn = gd.make_fused_sample_fn(ema_params, batch, kernel=kernel,
-                                           mesh=mesh)
+        fused_fn = gd.make_fused_sample_fn(
+            ema_params, batch, kernel=kernel, mesh=mesh,
+            sample_steps=samp_args.sample_steps, eta=samp_args.ddim_eta,
+        )
         driver = lambda b, k: fused_fn(k)
     else:
-        sample_fn = gd.make_sample_fn(batch, mesh=mesh)
+        sample_fn = gd.make_sample_fn(
+            batch, mesh=mesh,
+            sample_steps=samp_args.sample_steps, eta=samp_args.ddim_eta,
+        )
         driver = lambda b, k: sample_fn(ema_params, k)
 
     if samp_args.gen_mode == "iid":

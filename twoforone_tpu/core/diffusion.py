@@ -154,6 +154,128 @@ def p_sample_loop(
     return mol
 
 
+def ddim_timestep_ladder(num_timesteps: int, sample_steps: int):
+    """Evenly spaced descending timestep subset for strided sampling.
+
+    Improved-DDPM-style respacing (Nichol & Dhariwal 2021, arXiv:2102.09672
+    §4; PAPERS.md): ``sample_steps`` indices evenly spaced over [0, T-1],
+    always containing both endpoints, descending. Returned as (taus,
+    prev_taus) where prev_taus[i] is the ladder step AFTER taus[i]
+    (prev_taus[-1] = -1 signals the final hop to x_0).
+    """
+    import numpy as np
+
+    assert 1 <= sample_steps <= num_timesteps, (
+        f"sample_steps={sample_steps} must be in [1, {num_timesteps}]"
+    )
+    # linspace from the top so sample_steps=1 yields [T-1] (one hop to x0)
+    taus = np.unique(
+        np.round(np.linspace(num_timesteps - 1, 0, sample_steps)).astype(np.int64)
+    )[::-1]
+    prev = np.concatenate([taus[1:], [-1]])
+    return jnp.asarray(taus.copy()), jnp.asarray(prev)
+
+
+def ddim_step(buf: DiffusionBuffers, score_fn: ScoreFn, x, tau, tau_prev, key,
+              eta: float = 0.0, objective: str = "pred_noise",
+              clip_x0: Optional[float] = 10.0):
+    """One DDIM update x_tau -> x_tau_prev (Song et al. 2020, eq. 12).
+
+    With a full ladder, eta=1 and ``clip_x0=None`` this reduces exactly to
+    the ancestral :func:`p_sample` step (sigma^2 == the DDPM posterior
+    variance and the means coincide algebraically — test_ddim.py asserts
+    the equivalence numerically); eta=0 is the deterministic DDIM ODE
+    corrector. Keeps the framework's invariants: model output, x0 estimate,
+    injected noise and the state are all zero-CoM projected.
+
+    ``clip_x0`` clamps the x0 estimate (the standard clip-denoised guard):
+    at the top of the cosine schedule ``1/sqrt(abar_t)`` is ~2e4, so
+    predict_start_from_noise amplifies model eps error by that factor. The
+    ancestral chain is immune (its posterior coefficients cancel the
+    amplification and the state is mostly replaced by fresh noise at high
+    t), but DDIM carries x0 forward with weight sqrt(abar_prev) — unclipped
+    it diverges with any imperfect score net (measured: sample std ~300 vs
+    data std 1.3 on the trained chain10 control). Coordinates are
+    normalized to unit std, so 10 is far outside the data range and only
+    engages on amplified noise.
+    """
+    b = x.shape[0]
+    t = jnp.full((b,), tau, dtype=jnp.int32)
+    t_norm = t.astype(jnp.float32) / buf.num_timesteps
+    model_output = center_zero(score_fn(x, t_norm))
+    abar_t = extract(buf.alphas_cumprod, t)
+    if objective == "pred_noise":
+        eps = model_output
+        x0 = center_zero(predict_start_from_noise(buf, x, t, eps))
+    elif objective == "pred_x0":
+        x0 = model_output
+        eps = (x - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
+    else:
+        raise ValueError(f"unknown objective {objective}")
+    if clip_x0 is not None:
+        x0 = center_zero(jnp.clip(x0, -clip_x0, clip_x0))
+        # keep (x0, eps) consistent with the current state (diffusers'
+        # clip_sample convention); a no-op when the clamp did not engage
+        eps = (x - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
+
+    last = tau_prev < 0  # final hop: x_0 directly, no noise
+    t_prev = jnp.full((b,), jnp.maximum(tau_prev, 0), dtype=jnp.int32)
+    abar_prev = jnp.where(last, 1.0, extract(buf.alphas_cumprod, t_prev))
+    sigma = eta * jnp.sqrt(
+        jnp.clip((1.0 - abar_prev) / (1.0 - abar_t), 0.0)
+        * jnp.clip(1.0 - abar_t / abar_prev, 0.0)
+    )
+    dir_coef = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma**2, 0.0))
+    noise = center_zero(jax.random.normal(key, x.shape, dtype=x.dtype))
+    keep_noise = jnp.where(last, 0.0, 1.0)
+    return jnp.sqrt(abar_prev) * x0 + dir_coef * eps + keep_noise * sigma * noise
+
+
+def ddim_sample_loop(
+    buf: DiffusionBuffers,
+    score_fn: ScoreFn,
+    shape,
+    key,
+    sample_steps: int,
+    eta: float = 0.0,
+    objective: str = "pred_noise",
+    mesh=None,
+    clip_x0: Optional[float] = 10.0,
+):
+    """Strided reverse chain as one lax.scan — ``sample_steps`` score-net
+    evaluations instead of T (throughput scales ~T/sample_steps).
+
+    No reference equivalent (the reference always runs the full T=1000
+    ancestral loop, models/ddpm.py:234-254); the blow-up clamp, zero-CoM
+    projection, per-step fold_in RNG and mesh batch sharding follow
+    :func:`p_sample_loop` exactly.
+    """
+    key, init_key = jax.random.split(key)
+    mol = center_zero(jax.random.normal(init_key, shape, dtype=jnp.float32))
+    if mesh is not None:
+        from twoforone_tpu.parallel.mesh import chain_sharding, mesh_size
+
+        if mesh_size(mesh) > 1:
+            assert shape[0] % mesh_size(mesh) == 0, (
+                f"batch {shape[0]} must be divisible by mesh size {mesh_size(mesh)}"
+            )
+            mol = jax.lax.with_sharding_constraint(mol, chain_sharding(mesh))
+
+    taus, prev_taus = ddim_timestep_ladder(buf.num_timesteps, sample_steps)
+
+    def step(mol, tau_pair):
+        tau, tau_prev = tau_pair
+        step_key = jax.random.fold_in(key, tau)
+        mol = ddim_step(buf, score_fn, mol, tau, tau_prev, step_key, eta,
+                        objective, clip_x0)
+        mol = jnp.clip(mol, -1000.0, 1000.0)
+        mol = center_zero(mol)
+        return mol, None
+
+    mol, _ = jax.lax.scan(step, mol, (taus, prev_taus))
+    return mol
+
+
 def p_losses(
     buf: DiffusionBuffers,
     score_fn: ScoreFn,
@@ -253,26 +375,44 @@ class GaussianDiffusion:
         return loss, {"kl_at_T": kl}
 
     # -- sampling --------------------------------------------------------------
-    def sample(self, params, batch_size: int, key, mesh=None):
+    def _sample_loop_fn(self, sample_steps: Optional[int], eta: float):
+        """Reverse-chain loop selector: full ancestral chain by default, the
+        strided DDIM chain when ``sample_steps`` is given (TPU-only
+        extension; the reference always runs all T steps)."""
+        if sample_steps is None:
+            return p_sample_loop
+        return partial(ddim_sample_loop, sample_steps=sample_steps, eta=eta)
+
+    def sample(self, params, batch_size: int, key, mesh=None,
+               sample_steps: Optional[int] = None, eta: float = 0.0):
         """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263).
 
         ``mesh`` shards the batch axis over the mesh devices (the TPU
         equivalent of the reference's DataParallel SamplerWrapper fan-out,
-        sample.py:180-186 / utils.py:201-212)."""
+        sample.py:180-186 / utils.py:201-212). ``sample_steps`` switches to
+        the strided DDIM chain (``eta``: 0 = deterministic, 1 = ancestral
+        noise scale)."""
         shape = (batch_size, self.num_atoms, 3)
-        mol = p_sample_loop(
-            self.buffers, self.score_fn(params), shape, key, self.objective,
-            mesh=mesh,
+        loop = self._sample_loop_fn(sample_steps, eta)
+        mol = loop(
+            self.buffers, self.score_fn(params), shape, key,
+            objective=self.objective, mesh=mesh,
         )
         return mol * self.norm_factor
 
-    def make_sample_fn(self, batch_size: int, mesh=None):
+    def make_sample_fn(self, batch_size: int, mesh=None,
+                       sample_steps: Optional[int] = None, eta: float = 0.0):
         """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
-        return jax.jit(lambda params, key: self.sample(params, batch_size, key, mesh=mesh))
+        return jax.jit(lambda params, key: self.sample(
+            params, batch_size, key, mesh=mesh,
+            sample_steps=sample_steps, eta=eta,
+        ))
 
     def make_fused_sample_fn(self, params, batch_size: int,
                              block_chains: int = 128, interpret: bool = False,
-                             kernel: str = "auto", mesh=None):
+                             kernel: str = "auto", mesh=None,
+                             sample_steps: Optional[int] = None,
+                             eta: float = 0.0):
         """Jitted sampling closure using a fused Pallas score kernel
         (conservative models only): (key) -> (batch, N, 3).
 
@@ -323,6 +463,7 @@ class GaussianDiffusion:
                 kernel = "xla"
             else:
                 kernel = "packed"
+        loop = self._sample_loop_fn(sample_steps, eta)
         if kernel == "xla":
             # Fastest measured option at villin/protein_g scale: the plain
             # geometric XLA path, bound as a fixed-params sample fn.
@@ -330,8 +471,8 @@ class GaussianDiffusion:
             shape = (batch_size, self.num_atoms, 3)
 
             def sample(key):
-                mol = p_sample_loop(self.buffers, sfn, shape, key,
-                                    self.objective, mesh=mesh)
+                mol = loop(self.buffers, sfn, shape, key,
+                           objective=self.objective, mesh=mesh)
                 return mol * self.norm_factor
 
             return jax.jit(sample)
@@ -371,7 +512,8 @@ class GaussianDiffusion:
             shape = (batch_size, self.num_atoms, 3)
 
             def sample(key):
-                mol = p_sample_loop(self.buffers, score_fn, shape, key, self.objective)
+                mol = loop(self.buffers, score_fn, shape, key,
+                           objective=self.objective)
                 return mol * self.norm_factor
 
             return jax.jit(sample)
@@ -386,7 +528,8 @@ class GaussianDiffusion:
 
         def sample_local(key):
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            mol = p_sample_loop(self.buffers, score_fn, local_shape, key, self.objective)
+            mol = loop(self.buffers, score_fn, local_shape, key,
+                       objective=self.objective)
             return mol * self.norm_factor
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
