@@ -31,6 +31,7 @@ ART = os.path.join(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, nargs="+", default=[200, 100, 50, 20])
+    p.add_argument("--solver", default="ddim", choices=["ddim", "dpm2m"])
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--num_samples", type=int, default=20000)
     p.add_argument("--batch", type=int, default=2048)
@@ -83,12 +84,12 @@ def main():
     )
     floor = scorer.tic_js(chain_dataset(args.num_samples, comp, seed=12))
     results = {"tic_js_floor": floor, "eta": args.eta,
-               "num_samples": args.num_samples}
-    print(f"floor: {floor:.4f}")
+               "solver": args.solver, "num_samples": args.num_samples}
+    print(f"floor: {floor:.4f}  solver: {args.solver}")
 
     def draw(sample_steps):
         fn = gd.make_sample_fn(args.batch, sample_steps=sample_steps,
-                               eta=args.eta)
+                               eta=args.eta, solver=args.solver)
         outs, key = [], jax.random.PRNGKey(100)
         t0 = time.perf_counter()
         for i in range((args.num_samples + args.batch - 1) // args.batch):

@@ -26,6 +26,7 @@ from twoforone_tpu.core.diffusion import (
     ddim_sample_loop,
     ddim_step,
     ddim_timestep_ladder,
+    dpm_solver_pp_2m_loop,
     p_sample,
     p_sample_loop,
 )
@@ -158,6 +159,87 @@ def test_sample_api_with_sample_steps():
     out3 = fn3(jax.random.PRNGKey(2))
     assert out3.shape == (4, N_BEADS, 3)
     assert np.all(np.isfinite(np.asarray(out3)))
+
+
+def _gaussian_cov_rel_err(sample_fn, cov, nf2, n=2000, key=0):
+    mol = sample_fn((n, N_BEADS, 3), jax.random.PRNGKey(key))
+    s = (np.asarray(mol) * np.sqrt(nf2)).astype(np.float64)
+    assert np.all(np.isfinite(s))
+    cov_hat = np.einsum("bic,bjc->ij", s, s) / (s.shape[0] * 3)
+    return np.linalg.norm(cov_hat - cov) / np.linalg.norm(cov)
+
+
+def test_dpm2m_reproduces_gaussian_target():
+    """20-step DPM-Solver++(2M) with the analytic optimal score matches the
+    target covariance, and at 10 steps it is no worse than 10-step DDIM
+    (the second-order extrapolation is the whole point of the solver)."""
+    buf = make_buffers(1000, "cosine", "ones")
+    eps_opt, cov, nf2 = _analytic_gaussian_score(buf)
+    rel20 = _gaussian_cov_rel_err(
+        lambda sh, k: dpm_solver_pp_2m_loop(buf, eps_opt, sh, k, sample_steps=20),
+        cov, nf2,
+    )
+    assert rel20 < 0.08, f"dpm2m-20 covariance mismatch: rel={rel20:.3f}"
+    rel10 = _gaussian_cov_rel_err(
+        lambda sh, k: dpm_solver_pp_2m_loop(buf, eps_opt, sh, k, sample_steps=10),
+        cov, nf2,
+    )
+    rel10_ddim = _gaussian_cov_rel_err(
+        lambda sh, k: ddim_sample_loop(buf, eps_opt, sh, k, sample_steps=10,
+                                       eta=0.0),
+        cov, nf2,
+    )
+    assert rel10 <= rel10_ddim * 1.10, (
+        f"dpm2m-10 ({rel10:.3f}) worse than ddim-10 ({rel10_ddim:.3f})"
+    )
+
+
+def test_dpm2m_single_step_equals_ddim():
+    """sample_steps=1 is one first-order hop straight to the clipped x0
+    estimate for both solvers (identical init-noise and model-eval paths)."""
+    buf = make_buffers(100, "cosine", "ones")
+    eps_opt, _, _ = _analytic_gaussian_score(buf)
+    key = jax.random.PRNGKey(5)
+    shape = (6, N_BEADS, 3)
+    dd = ddim_sample_loop(buf, eps_opt, shape, key, sample_steps=1, eta=0.0)
+    dp = dpm_solver_pp_2m_loop(buf, eps_opt, shape, key, sample_steps=1)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dd),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dpm2m_sample_api():
+    gd = _tiny_gd(timesteps=40)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    out = gd.sample(params, 4, jax.random.PRNGKey(1), sample_steps=8,
+                    solver="dpm2m")
+    assert out.shape == (4, N_BEADS, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out).mean(axis=1), 0.0, atol=1e-3)
+    fn = gd.make_sample_fn(4, sample_steps=8, solver="dpm2m")
+    out2 = fn(params, jax.random.PRNGKey(2))
+    assert out2.shape == (4, N_BEADS, 3)
+    fn3 = gd.make_fused_sample_fn(params, 4, interpret=True, kernel="packed",
+                                  sample_steps=8, solver="dpm2m")
+    out3 = fn3(jax.random.PRNGKey(2))
+    assert out3.shape == (4, N_BEADS, 3)
+    assert np.all(np.isfinite(np.asarray(out3)))
+
+
+def test_sharded_dpm2m_sampling():
+    """Batch-sharded DPM2M equals the single-device chain."""
+    from twoforone_tpu.parallel.mesh import get_mesh
+
+    buf = make_buffers(100, "cosine", "ones")
+    eps_opt, _, _ = _analytic_gaussian_score(buf)
+    mesh = get_mesh()
+    key = jax.random.PRNGKey(1)
+    shape = (16, N_BEADS, 3)
+    sharded = dpm_solver_pp_2m_loop(buf, eps_opt, shape, key, sample_steps=10,
+                                    mesh=mesh)
+    assert sharded.sharding.device_set == set(jax.devices())
+    single = dpm_solver_pp_2m_loop(buf, eps_opt, shape, key, sample_steps=10)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_ddim_sampling():

@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM noise scale (0 = deterministic, 1 = ancestral "
                         "noise level); only with --sample_steps")
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "dpm2m"],
+                   help="strided-chain solver (with --sample_steps): ddim "
+                        "(Song et al. 2020) or dpm2m (DPM-Solver++(2M), "
+                        "second-order multistep — same quality at ~2-5x "
+                        "fewer steps; deterministic, ignores --ddim_eta)")
     return p
 
 
@@ -183,12 +189,14 @@ def main(argv=None):
         fused_fn = gd.make_fused_sample_fn(
             ema_params, batch, kernel=kernel, mesh=mesh,
             sample_steps=samp_args.sample_steps, eta=samp_args.ddim_eta,
+            solver=samp_args.solver,
         )
         driver = lambda b, k: fused_fn(k)
     else:
         sample_fn = gd.make_sample_fn(
             batch, mesh=mesh,
             sample_steps=samp_args.sample_steps, eta=samp_args.ddim_eta,
+            solver=samp_args.solver,
         )
         driver = lambda b, k: sample_fn(ema_params, k)
 

@@ -276,6 +276,106 @@ def ddim_sample_loop(
     return mol
 
 
+def dpm_solver_pp_2m_loop(
+    buf: DiffusionBuffers,
+    score_fn: ScoreFn,
+    shape,
+    key,
+    sample_steps: int,
+    objective: str = "pred_noise",
+    mesh=None,
+    clip_x0: Optional[float] = 10.0,
+):
+    """DPM-Solver++(2M): second-order multistep ODE sampler (Lu et al. 2022,
+    arXiv:2211.01095, data-prediction formulation) as one lax.scan.
+
+    One score-net evaluation per step like DDIM, but each update extrapolates
+    the x0 prediction linearly in log-SNR from the previous evaluation —
+    second-order accuracy at first-order cost, so it holds DDIM quality at
+    ~2-5x fewer steps. No reference equivalent (the reference always runs the
+    full T=1000 ancestral loop, models/ddpm.py:234-254).
+
+    Conventions match :func:`ddim_sample_loop`: the Nichol-Dhariwal respaced
+    ladder (:func:`ddim_timestep_ladder`), zero-CoM projection and the ±1000
+    clamp every step, the same ``clip_x0`` denoised-estimate guard, and mesh
+    batch sharding. The final hop (tau_prev < 0, i.e. abar -> 1 so
+    sigma -> 0 and lambda -> +inf) is taken at first order ("lower-order
+    final", the standard stabilization for small step counts): the update
+    limit is exactly x = x0_hat, matching DDIM's final hop.
+    """
+    key, init_key = jax.random.split(key)
+    mol = center_zero(jax.random.normal(init_key, shape, dtype=jnp.float32))
+    if mesh is not None:
+        from twoforone_tpu.parallel.mesh import chain_sharding, mesh_size
+
+        if mesh_size(mesh) > 1:
+            assert shape[0] % mesh_size(mesh) == 0, (
+                f"batch {shape[0]} must be divisible by mesh size {mesh_size(mesh)}"
+            )
+            mol = jax.lax.with_sharding_constraint(mol, chain_sharding(mesh))
+
+    taus, prev_taus = ddim_timestep_ladder(buf.num_timesteps, sample_steps)
+    b = shape[0]
+
+    def x0_from_model(x, tau):
+        t = jnp.full((b,), tau, dtype=jnp.int32)
+        t_norm = t.astype(jnp.float32) / buf.num_timesteps
+        model_output = center_zero(score_fn(x, t_norm))
+        if objective == "pred_noise":
+            x0 = center_zero(predict_start_from_noise(buf, x, t, model_output))
+        elif objective == "pred_x0":
+            x0 = model_output
+        else:
+            raise ValueError(f"unknown objective {objective}")
+        if clip_x0 is not None:
+            x0 = center_zero(jnp.clip(x0, -clip_x0, clip_x0))
+        return x0
+
+    def log_snr_half(abar):  # lambda = log(alpha/sigma) = 0.5 log(abar/(1-abar))
+        return 0.5 * (jnp.log(abar) - jnp.log1p(-abar))
+
+    def step(carry, tau_pair):
+        x, x0_prev, lam_prev, first = carry
+        tau, tau_prev = tau_pair
+        x0_s = x0_from_model(x, tau)
+        abar_s = buf.alphas_cumprod[tau]
+        lam_s = log_snr_half(abar_s)
+        sigma_s = jnp.sqrt(1.0 - abar_s)
+
+        last = tau_prev < 0
+        abar_t = jnp.where(last, 1.0,
+                           buf.alphas_cumprod[jnp.maximum(tau_prev, 0)])
+        alpha_t = jnp.sqrt(abar_t)
+        sigma_t = jnp.where(last, 0.0, jnp.sqrt(1.0 - abar_t))
+        lam_t = jnp.where(last, lam_s, log_snr_half(abar_t))  # unused when last
+        h = lam_t - lam_s
+        # exp(-h) = (alpha_s * sigma_t) / (sigma_s * alpha_t): -> 0 on the
+        # final hop (sigma_t = 0), so expm1(-h) -> -1 without evaluating the
+        # infinite lambda.
+        exp_neg_h = jnp.where(
+            last, 0.0, jnp.sqrt(abar_s) * sigma_t / (sigma_s * alpha_t)
+        )
+
+        # second-order multistep extrapolation; first step and the final hop
+        # fall back to first order (D = x0_s)
+        h_prev = lam_s - lam_prev
+        r = h_prev / jnp.where(last, 1.0, h)  # h != 0 off the final hop
+        coef = 1.0 / (2.0 * r)
+        use_first_order = jnp.logical_or(first, last)
+        D = jnp.where(
+            use_first_order, x0_s, (1.0 + coef) * x0_s - coef * x0_prev
+        )
+        x_new = (sigma_t / sigma_s) * x - alpha_t * (exp_neg_h - 1.0) * D
+        x_new = jnp.clip(x_new, -1000.0, 1000.0)
+        x_new = center_zero(x_new)
+        return (x_new, x0_s, lam_s, jnp.asarray(False)), None
+
+    carry0 = (mol, jnp.zeros_like(mol), jnp.asarray(0.0, jnp.float32),
+              jnp.asarray(True))
+    (mol, _, _, _), _ = jax.lax.scan(step, carry0, (taus, prev_taus))
+    return mol
+
+
 def p_losses(
     buf: DiffusionBuffers,
     score_fn: ScoreFn,
@@ -375,25 +475,33 @@ class GaussianDiffusion:
         return loss, {"kl_at_T": kl}
 
     # -- sampling --------------------------------------------------------------
-    def _sample_loop_fn(self, sample_steps: Optional[int], eta: float):
-        """Reverse-chain loop selector: full ancestral chain by default, the
-        strided DDIM chain when ``sample_steps`` is given (TPU-only
-        extension; the reference always runs all T steps)."""
+    def _sample_loop_fn(self, sample_steps: Optional[int], eta: float,
+                        solver: str = "ddim"):
+        """Reverse-chain loop selector: full ancestral chain by default, a
+        strided chain when ``sample_steps`` is given (TPU-only extension; the
+        reference always runs all T steps). ``solver``: "ddim" (Song et al.
+        2020) or "dpm2m" (DPM-Solver++(2M), second-order multistep,
+        deterministic — ``eta`` does not apply)."""
         if sample_steps is None:
             return p_sample_loop
-        return partial(ddim_sample_loop, sample_steps=sample_steps, eta=eta)
+        if solver == "ddim":
+            return partial(ddim_sample_loop, sample_steps=sample_steps, eta=eta)
+        if solver == "dpm2m":
+            return partial(dpm_solver_pp_2m_loop, sample_steps=sample_steps)
+        raise ValueError(f"unknown solver {solver!r} (ddim | dpm2m)")
 
     def sample(self, params, batch_size: int, key, mesh=None,
-               sample_steps: Optional[int] = None, eta: float = 0.0):
+               sample_steps: Optional[int] = None, eta: float = 0.0,
+               solver: str = "ddim"):
         """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263).
 
         ``mesh`` shards the batch axis over the mesh devices (the TPU
         equivalent of the reference's DataParallel SamplerWrapper fan-out,
         sample.py:180-186 / utils.py:201-212). ``sample_steps`` switches to
-        the strided DDIM chain (``eta``: 0 = deterministic, 1 = ancestral
-        noise scale)."""
+        a strided chain — ``solver="ddim"`` (``eta``: 0 = deterministic,
+        1 = ancestral noise scale) or ``solver="dpm2m"``."""
         shape = (batch_size, self.num_atoms, 3)
-        loop = self._sample_loop_fn(sample_steps, eta)
+        loop = self._sample_loop_fn(sample_steps, eta, solver)
         mol = loop(
             self.buffers, self.score_fn(params), shape, key,
             objective=self.objective, mesh=mesh,
@@ -401,18 +509,19 @@ class GaussianDiffusion:
         return mol * self.norm_factor
 
     def make_sample_fn(self, batch_size: int, mesh=None,
-                       sample_steps: Optional[int] = None, eta: float = 0.0):
+                       sample_steps: Optional[int] = None, eta: float = 0.0,
+                       solver: str = "ddim"):
         """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
         return jax.jit(lambda params, key: self.sample(
             params, batch_size, key, mesh=mesh,
-            sample_steps=sample_steps, eta=eta,
+            sample_steps=sample_steps, eta=eta, solver=solver,
         ))
 
     def make_fused_sample_fn(self, params, batch_size: int,
                              block_chains: int = 128, interpret: bool = False,
                              kernel: str = "auto", mesh=None,
                              sample_steps: Optional[int] = None,
-                             eta: float = 0.0):
+                             eta: float = 0.0, solver: str = "ddim"):
         """Jitted sampling closure using a fused Pallas score kernel
         (conservative models only): (key) -> (batch, N, 3).
 
@@ -463,7 +572,7 @@ class GaussianDiffusion:
                 kernel = "xla"
             else:
                 kernel = "packed"
-        loop = self._sample_loop_fn(sample_steps, eta)
+        loop = self._sample_loop_fn(sample_steps, eta, solver)
         if kernel == "xla":
             # Fastest measured option at villin/protein_g scale: the plain
             # geometric XLA path, bound as a fixed-params sample fn.
