@@ -73,9 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="ddim",
                    choices=["ddim", "dpm2m"],
                    help="strided-chain solver (with --sample_steps): ddim "
-                        "(Song et al. 2020) or dpm2m (DPM-Solver++(2M), "
-                        "second-order multistep — same quality at ~2-5x "
-                        "fewer steps; deterministic, ignores --ddim_eta)")
+                        "(Song et al. 2020, the measured production default) "
+                        "or dpm2m (DPM-Solver++(2M), second-order multistep, "
+                        "deterministic, ignores --ddim_eta; wins when score "
+                        "error is small — docs/PERF_NOTES.md quality ladder)")
     return p
 
 

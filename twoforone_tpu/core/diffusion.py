@@ -291,9 +291,13 @@ def dpm_solver_pp_2m_loop(
 
     One score-net evaluation per step like DDIM, but each update extrapolates
     the x0 prediction linearly in log-SNR from the previous evaluation —
-    second-order accuracy at first-order cost, so it holds DDIM quality at
-    ~2-5x fewer steps. No reference equivalent (the reference always runs the
-    full T=1000 ancestral loop, models/ddpm.py:234-254).
+    second-order accuracy at first-order cost WHEN the score error is small
+    (clearly wins on the analytic-score Gaussian, tests/test_ddim.py). With
+    an imperfect trained score the extrapolation amplifies model error: on
+    the trained chain10 control DDIM matched it at 50-100 steps and beat it
+    at 10-20 (docs/PERF_NOTES.md quality ladder), so DDIM remains the
+    production default. No reference equivalent (the reference always runs
+    the full T=1000 ancestral loop, models/ddpm.py:234-254).
 
     Conventions match :func:`ddim_sample_loop`: the Nichol-Dhariwal respaced
     ladder (:func:`ddim_timestep_ladder`), zero-CoM projection and the ±1000
