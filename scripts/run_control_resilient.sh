@@ -13,7 +13,10 @@ ATTEMPTS=${2:-6}
 PER_TIMEOUT=${3:-9000}
 PROBE_DEADLINE=${4:-28800}   # give up probing after 8 h of continuous outage
 cd "$(dirname "$0")/.."
-FOLDER=/tmp/chain${N}_run
+# Default the checkpoint folder into the repo (not /tmp) so a partially
+# trained control survives round/driver restarts and resumes next session.
+FOLDER=${CONTROL_FOLDER:-$(pwd)/.controls/chain${N}_run}
+mkdir -p "$FOLDER"
 
 wait_for_backend() {
     # Probe in a subprocess (a failed in-process init is cached by jax).
