@@ -276,6 +276,22 @@ def run_chain_control(
     trainer.train()
     trainer.save("final")
 
+    # Post-training stage caching: the iid-sample and Langevin stages are
+    # the expensive tail of a production control (tens of TPU-minutes at
+    # N>=35). Crash-resilient relaunches (resume=True) must not redo a
+    # completed stage, so each stage persists its raw product in the stable
+    # results_folder and is skipped when the file already exists.
+    def _cached_stage(name, compute):
+        path = os.path.join(results_folder, f"post_{name}.npy")
+        if resume and os.path.exists(path):
+            print(f"post-train stage '{name}': loaded from {path}")
+            return np.load(path)
+        arr = np.asarray(compute())
+        tmp = path + ".tmp.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+        return arr
+
     # TICA scorer: fit on an independent reference trajectory, gt histogram
     # from i.i.d. equilibrium draws.
     scorer = SyntheticTicScorer(
@@ -284,7 +300,7 @@ def run_chain_control(
     )
     floor = scorer.tic_js(chain10_dataset(eval_samples, seed=seed + 12))
 
-    iid = np.asarray(trainer.sample(num_samples))
+    iid = _cached_stage("iid", lambda: trainer.sample(num_samples))
     finite = np.isfinite(iid).all(axis=(1, 2))
     iid = iid[finite]
     results = {
@@ -307,7 +323,7 @@ def run_chain_control(
         dt=None, masses=[12.0] * n_beads, friction=1.0,
         kb="consistent", random_seed=seed, log=False, fused=fused,
     )
-    traj_lang = sim.sample()
+    traj_lang = _cached_stage("langevin", sim.sample)
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
     traj_lang = traj_lang[finite_l]
