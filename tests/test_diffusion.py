@@ -62,6 +62,40 @@ def test_sample_timesteps_distribution(buf):
     assert 0.45 < frac_low < 0.55
 
 
+def test_sample_timesteps_t_range_confines(buf):
+    """t_diff_interval restricts the multinomial to lo <= t < hi — the
+    capability the reference intended but shipped as a no-op
+    (models/ddpm.py:317-333 ignores t_diff_range)."""
+    t = np.asarray(sample_timesteps(buf, jax.random.PRNGKey(6), 20000,
+                                    t_range=(0, 100)))
+    assert t.min() >= 0 and t.max() < 100
+    t = np.asarray(sample_timesteps(buf, jax.random.PRNGKey(7), 20000,
+                                    t_range=(250, 700)))
+    assert t.min() >= 250 and t.max() < 700
+    # relative weights inside the window are preserved (higheruntil_100 is
+    # uniform within [250, 700)): roughly uniform occupancy
+    hist = np.bincount(t - 250, minlength=450)
+    assert hist.min() > 0
+
+
+def test_t_diff_interval_validation_and_loss():
+    gd_bad = lambda iv: GaussianDiffusion(
+        model=GraphTransformer(num_beads=5, hidden_nf=8, n_layers=1,
+                               use_intrinsic_coords=True,
+                               use_abs_coords=False, use_distances=False),
+        num_atoms=5, timesteps=8, t_diff_interval=iv,
+    )
+    with pytest.raises(ValueError):
+        gd_bad((5, 5))
+    with pytest.raises(ValueError):
+        gd_bad((0, 9))
+    gd = gd_bad((0, 4))
+    params = gd.init_params(jax.random.PRNGKey(0))
+    mol = center_zero(jax.random.normal(jax.random.PRNGKey(1), (4, 5, 3)))
+    loss, aux = jax.jit(gd.loss)(params, mol, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
 def _tiny_diffusion(timesteps=8, conservative=False):
     model = GraphTransformer(
         num_beads=5,

@@ -186,3 +186,33 @@ def test_profiling_phase_timer():
         pass
     assert t.counts["a"] == 2
     assert "a:" in t.report()
+
+
+@pytest.mark.parametrize(
+    "mol,n_beads",
+    [("chignolin", 10), ("trp_cage", 20), ("bba", 28), ("villin", 33),
+     ("protein_g", 56)],
+)
+def test_data_free_evaluator_every_fast_folder(mol, n_beads):
+    """The orchestrating Evaluator must be constructible for EVERY fast
+    folder with an empty dataset (the reference's data-free contract,
+    saved_references/README.md) and score a sample batch. Exercises the
+    PwdEvaluator offset-3 golden-pickle fallback (the reference crashes
+    here: its PwdEvaluator defaults offset=0 and only offset-3 pickles
+    ship) and the TIC skip for folders without golden TICA pickles."""
+    from twoforone_tpu.evaluate.evaluators import Evaluator
+
+    ev = Evaluator(None, None, mol_name=mol, eval_folder=None)
+    rng = np.random.default_rng(0)
+    samples = rng.normal(size=(64, n_beads, 3)).astype(np.float32) * 3.0
+    results = ev.eval(samples, milestone="datafree")
+    if mol == "protein_g":
+        # excluded from in-loop TIC/PWD eval (reference evaluators.py:63-77)
+        assert results == {}
+        return
+    assert np.isfinite(results["PWD JS"])
+    assert ev.pwd_evaluator.offset == 3  # fell back to the shipped pickle
+    if mol in ("chignolin", "trp_cage"):
+        assert np.isfinite(results["TIC JS"])  # golden TICA pickles ship
+    else:
+        assert "TIC JS" not in results  # no golden TICA for bba/villin

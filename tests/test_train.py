@@ -372,3 +372,21 @@ def test_trainer_chunked_stops_exactly_at_train_iter(tmp_path):
                                num_samples=32, num_samples_final_eval=32)
     trainer.train()
     assert int(trainer.state.step) == 10
+
+
+def test_get_model_rejects_unplumbed_flags():
+    """Non-default values for reference flags that never reach the model
+    must raise instead of silently training a different model than asked
+    (the reference parses-and-drops them, main_train.py:84,168-192,256)."""
+    base = dict(hidden_features_gnn=16, num_layers_gnn=1,
+                use_intrinsic_coords=True, use_abs_coords=False,
+                use_distances=False, conservative=True)
+    # defaults pass
+    get_model(TrainConfig(**base), 5)
+    for flag, bad_value in [
+        ("use_rbf", True), ("residual_edge", False),
+        ("graph_mlp_decoder", True), ("gnn_efficient", True),
+        ("use_layernorm", False), ("sum_energies", False),
+    ]:
+        with pytest.raises(ValueError, match=flag):
+            get_model(TrainConfig(**base, **{flag: bad_value}), 5)

@@ -164,6 +164,9 @@ def main(argv=None):
         timesteps=cfg.diffusion_steps,
         norm_factor=norm_factor,
         loss_weights=cfg.loss_weights,
+        t_diff_interval=(
+            None if cfg.t_diff_interval is None else tuple(cfg.t_diff_interval)
+        ),
     )
     trainer = Trainer(gd, (trainset, valset, testset), cfg.mol, cfg)
     trainer.train()

@@ -404,10 +404,21 @@ def p_losses(
     return loss.mean()
 
 
-def sample_timesteps(buf: DiffusionBuffers, key, batch: int):
+def sample_timesteps(buf: DiffusionBuffers, key, batch: int, t_range=None):
     """t ~ multinomial(loss_weights) — importance sampling of timesteps
-    (reference models/ddpm.py:333)."""
+    (reference models/ddpm.py:333).
+
+    ``t_range=(lo, hi)`` restricts sampling to the half-open interval
+    ``lo <= t < hi`` (so ``(0, 100)`` trains the first 100 noise levels and
+    ``(0, T)`` is the full chain). This implements the capability the
+    reference intended with ``--t_diff_interval`` but shipped broken: its
+    ``forward`` accepts ``t_diff_range`` and never applies it to the
+    multinomial (models/ddpm.py:317-333, main_train.py:262-267)."""
     logits = jnp.log(buf.loss_weights)
+    if t_range is not None:
+        lo, hi = t_range
+        t_idx = jnp.arange(buf.num_timesteps)
+        logits = jnp.where((t_idx >= lo) & (t_idx < hi), logits, -jnp.inf)
     return jax.random.categorical(key, logits, shape=(batch,))
 
 
@@ -432,9 +443,21 @@ class GaussianDiffusion:
     loss_weights: str = "ones"
     objective: str = "pred_noise"
     loss_type: str = "l2"
+    # Restrict training-loss timesteps to lo <= t < hi (reference
+    # --t_diff_interval, intended but non-functional there — see
+    # sample_timesteps). None = full chain.
+    t_diff_interval: Optional[tuple] = None
     buffers: DiffusionBuffers = field(init=False)
 
     def __post_init__(self):
+        if self.t_diff_interval is not None:
+            lo, hi = self.t_diff_interval
+            if not (0 <= lo < hi <= self.timesteps):
+                raise ValueError(
+                    f"t_diff_interval={self.t_diff_interval} must satisfy "
+                    f"0 <= lo < hi <= timesteps={self.timesteps}"
+                )
+            object.__setattr__(self, "t_diff_interval", (int(lo), int(hi)))
         object.__setattr__(
             self,
             "buffers",
@@ -465,7 +488,7 @@ class GaussianDiffusion:
         b, n, d = mol.shape
         assert n == self.num_atoms and d == 3, f"Molecule shape must be {(self.num_atoms, 3)}"
         t_key, loss_key = jax.random.split(key)
-        t = sample_timesteps(self.buffers, t_key, b)
+        t = sample_timesteps(self.buffers, t_key, b, self.t_diff_interval)
         kl = normal_kl_at_T(self.buffers, mol)
         loss = p_losses(
             self.buffers,
