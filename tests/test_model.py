@@ -178,3 +178,45 @@ def test_jit_and_grad_compose():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+@pytest.mark.parametrize(
+    "has_diff,has_dist",
+    [(True, False), (False, True), (True, True), (False, False)],
+)
+def test_geometric_packed_matches_unpacked(has_diff, has_dist):
+    """The packed one-matmul-per-side formulation (production, large-N
+    lever) must match the unpacked geometric factorization in value AND
+    gradient — the dropped sim terms are row constants that cancel in the
+    softmax."""
+    from twoforone_tpu.ops.attention import (
+        geometric_edge_attention,
+        geometric_edge_attention_packed,
+    )
+
+    key = jax.random.PRNGKey(3)
+    B, N, H, dh = 3, 9, 4, 8
+    ks = jax.random.split(key, 7)
+    q = jax.random.normal(ks[0], (B, N, H, dh))
+    k = jax.random.normal(ks[1], (B, N, H, dh))
+    v = jax.random.normal(ks[2], (B, N, H, dh))
+    x = center_zero(jax.random.normal(ks[3], (B, N, 3)) * 2.0)
+    k_diff = jax.random.normal(ks[4], (3, H, dh)) * 0.3 if has_diff else None
+    k_dist = jax.random.normal(ks[5], (H, dh)) * 0.1 if has_dist else None
+    b_comb = jax.random.normal(ks[6], (H, dh)) * 0.1
+    scale = dh**-0.5
+
+    ref = geometric_edge_attention(q, k, v, x, k_diff, k_dist, b_comb, scale)
+    new = geometric_edge_attention_packed(q, k, v, x, k_diff, k_dist, b_comb, scale)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=1e-5)
+
+    def loss_ref(q, x):
+        return geometric_edge_attention(q, k, v, x, k_diff, k_dist, b_comb, scale).sum()
+
+    def loss_new(q, x):
+        return geometric_edge_attention_packed(q, k, v, x, k_diff, k_dist, b_comb, scale).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(q, x)
+    g_new = jax.grad(loss_new, argnums=(0, 1))(q, x)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from twoforone_tpu.ops.attention import (
     edge_biased_attention,
-    geometric_edge_attention,
+    geometric_edge_attention_packed,
 )
 from twoforone_tpu.ops.geometry import center_zero
 
@@ -125,7 +125,7 @@ class Attention(nn.Module):
             )
             k_diff = k_comb[:3] if has_diff else None
             k_dist = k_comb[3 if has_diff else 0] if has_dist else None
-            out = geometric_edge_attention(
+            out = geometric_edge_attention_packed(
                 q, k, v, x.astype(self.dtype), k_diff, k_dist, b_comb, scale
             )
         else:

@@ -68,6 +68,89 @@ def _softmax_last(x):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def geometric_edge_attention_packed(q, k, v, x, k_diff, k_dist, b_comb, scale):
+    """Geometric edge attention as ONE matmul per attention side (production).
+
+    Same math as :func:`geometric_edge_attention` (softmax-identical, so
+    results match to fp rounding), reorganized for the MXU at large N
+    (docs/PERF_NOTES.md round 4):
+
+    1. Every sim term that is constant along a row i — ``q·b_comb``,
+       ``−(q·K_diff)·x_i``, ``(q·k_dist)·sq_i`` — shifts the whole softmax
+       row equally and therefore cancels: dropped outright.
+    2. The surviving edge score terms are linear in per-j features, so they
+       fold into the Q·K^T contraction as extra channels:
+
+           q̃_i = [scale·q_i,  xcoef_i,            q·k_dist]
+           k̃_j = [k_j,        x_j,                 sq_j    ]
+           xcoef_i = scale·(q_i K_diff − 2 (q_i·k_dist) x_i)
+
+       (the gram term ``−2 q_ks_i x_i·x_j`` is linear in ``x_j`` too, so its
+       coefficient just adds onto the diff coefficient — no (B,N,N) gram
+       tensor on the score side).
+    3. The value-side reductions ``attn·v``, ``attn·x`` and ``attn·sq`` fold
+       into one contraction with ṽ_j = [v_j, x_j, sq_j]; the attention-gram
+       reduction collapses exactly: ``Σ_j a_ij (x_i·x_j) = x_i · x̄_i``.
+
+    Net: 2 batched (N,dh+4)x(dh+4,N)-class matmuls per layer instead of 4-6
+    narrower ones plus several (B,H,N,N) adds/broadcasts — the N² tensors
+    left are the logits and the attention weights, which is the information-
+    theoretic minimum for dense attention. Exactness vs the naive reference
+    computation is test-verified through the full model for all four edge
+    configurations (tests/test_model.py).
+
+    Args/returns: identical to :func:`geometric_edge_attention`.
+    """
+    b_, n, h, dh = q.shape
+    has_diff = k_diff is not None
+    has_dist = k_dist is not None
+    qs = q * scale
+    parts_q, parts_k, parts_v = [qs], [k], [v]
+    if has_diff or has_dist:
+        xh = jnp.broadcast_to(x[:, :, None, :], (b_, n, h, 3)).astype(q.dtype)
+        parts_k.append(xh)
+        parts_v.append(xh)
+        xcoef = None
+        if has_diff:
+            xcoef = jnp.einsum("bihd,chd->bihc", qs, k_diff)
+        if has_dist:
+            q_ks = jnp.einsum("bihd,hd->bih", qs, k_dist)
+            gram_coef = -2.0 * q_ks[..., None] * x[:, :, None, :].astype(q.dtype)
+            xcoef = gram_coef if xcoef is None else xcoef + gram_coef
+        parts_q.append(xcoef)
+    if has_dist:
+        sq = jnp.sum(x * x, axis=-1).astype(q.dtype)  # (B, N)
+        sqh = jnp.broadcast_to(sq[:, :, None, None], (b_, n, h, 1))
+        parts_k.append(sqh)
+        parts_v.append(sqh)
+        parts_q.append(q_ks[..., None])
+    qt = jnp.concatenate(parts_q, axis=-1) if len(parts_q) > 1 else qs
+    kt = jnp.concatenate(parts_k, axis=-1) if len(parts_k) > 1 else k
+    vt = jnp.concatenate(parts_v, axis=-1) if len(parts_v) > 1 else v
+
+    attn = _softmax_last(jnp.einsum("bihe,bjhe->bhij", qt, kt))
+    ot = jnp.einsum("bhij,bjhe->bihe", attn, vt)
+
+    out = ot[..., :dh] + b_comb[None, None]  # rows of attn sum to 1
+    idx = dh
+    if has_diff or has_dist:
+        xbar = ot[..., idx : idx + 3]
+        idx += 3
+    if has_diff:
+        out = out + jnp.einsum(
+            "bihc,chd->bihd", xbar - x[:, :, None, :].astype(q.dtype), k_diff
+        )
+    if has_dist:
+        sqbar = ot[..., idx]
+        fdist = (
+            sqbar
+            + sq[:, :, None]
+            - 2.0 * jnp.sum(x[:, :, None, :].astype(q.dtype) * xbar, axis=-1)
+        )
+        out = out + fdist[..., None] * k_dist[None, None]
+    return out
+
+
 def geometric_edge_attention(q, k, v, x, k_diff, k_dist, b_comb, scale):
     """Edge-biased attention with the N^2 edge tensors eliminated.
 
