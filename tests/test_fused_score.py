@@ -118,6 +118,9 @@ def test_fused_sampling_matches_standard(kernel):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow  # ~50 s interpret-mode sweep over 4 kernel variants; the
+# production variant stays covered in the fast lane by
+# test_fused_kernel_in_langevin_force_fn + test_fused_sampling_matches_standard.
 def test_chain_lane_kernel_matches_xla():
     """The chain-lane fused kernel (ops/fused_score_cl.py) must match the
     XLA score path on the production edge config, for fixed and runtime t,
@@ -149,6 +152,9 @@ def test_chain_lane_kernel_matches_xla():
     )
 
 
+@pytest.mark.slow  # ~40-70 s each on the 1-core CI host; the hierarchical
+# remat variants are a measured dead end kept for the record (PERF_NOTES
+# round 3), not a production path — slow lane is the right cost tier.
 @pytest.mark.parametrize("scope", ["layer", "head", "row"])
 def test_chain_lane_hierarchical_remat_matches_xla(scope):
     """The large-N kernel configuration — loop-over-i attention with
