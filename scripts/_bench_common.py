@@ -10,13 +10,14 @@ import time
 
 # (beads, hidden_nf, n_layers) from the shipped args.pickle configs
 # (SURVEY "shipped model config"); bead counts from the packaged
-# folded_pdbs/*-c-alpha.pdb CA atom counts (villin/2F4K has 33).
+# folded_pdbs/*-c-alpha.pdb CA atom counts (villin/2F4K has 35:
+# 33 standard residues + 2 norleucine HETATM C-alphas).
 CONFIGS = {
     "alanine": (5, 96, 2),
     "chignolin": (10, 64, 3),
     "trp_cage": (20, 128, 3),
     "bba": (28, 96, 3),
-    "villin": (33, 128, 3),
+    "villin": (35, 128, 3),
     "protein_g": (56, 128, 3),
 }
 

@@ -190,7 +190,7 @@ def test_profiling_phase_timer():
 
 @pytest.mark.parametrize(
     "mol,n_beads",
-    [("chignolin", 10), ("trp_cage", 20), ("bba", 28), ("villin", 33),
+    [("chignolin", 10), ("trp_cage", 20), ("bba", 28), ("villin", 35),
      ("protein_g", 56)],
 )
 def test_data_free_evaluator_every_fast_folder(mol, n_beads):

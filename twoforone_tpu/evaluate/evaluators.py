@@ -284,6 +284,13 @@ class PwdEvaluator:
                 )
 
     def js_divergence_pwd(self, hist_gt, pwd_sampled, gt_max, resolution) -> float:
+        if pwd_sampled.shape[1] != len(hist_gt):
+            raise ValueError(
+                f"PWD pair-count mismatch: samples have {pwd_sampled.shape[1]} "
+                f"offset-{self.offset} pairs but the reference histograms have "
+                f"{len(hist_gt)} — bead count of the samples does not match "
+                f"the reference for '{self.mol_name}'"
+            )
         result_js = np.empty(len(hist_gt))
         for i, (hgt, pwd, gtm) in enumerate(zip(hist_gt, pwd_sampled.T, gt_max)):
             maxval = max(float(gtm), float(pwd.max()))
