@@ -32,7 +32,7 @@ ASSETS_TRAINED = os.path.join(
 )
 
 
-def rebuild_control(n_beads):
+def rebuild_control(n_beads, artifact_dir=None):
     """Rebuild a staged control's exact configuration (positive_control.py
     run_chain_control defaults, seed=0): model shape from the preset,
     norm_factor = train-split std of the regenerated trajectory, trained
@@ -68,7 +68,7 @@ def rebuild_control(n_beads):
     gd = GaussianDiffusion(model=model, num_atoms=n_beads, timesteps=1000,
                            norm_factor=norm_factor, loss_weights="ones")
     template = {"ema_params": gd.init_params(jax.random.PRNGKey(0))}
-    art = os.path.join(ASSETS_TRAINED, f"chain{n_beads}")
+    art = artifact_dir or os.path.join(ASSETS_TRAINED, f"chain{n_beads}")
     state = load_checkpoint(art, "best", None)
     params = serialization.from_state_dict(
         template["ema_params"], state["ema_params"]
