@@ -39,6 +39,12 @@ def main():
     p.add_argument("--results_folder", type=str, default=None)
     p.add_argument("--eval_interval", type=int, default=10000)
     p.add_argument("--resume", action="store_true")
+    # Langevin noise-level override: the reference tuned t per protein on
+    # real data (paper Table S4); scripts/langevin_t_sweep.py is the
+    # analogous tuning loop for a control artifact, and its winner is fed
+    # back here to re-run just the (cached) Langevin stage at the tuned t.
+    p.add_argument("--t_noise", type=int, default=None)
+    p.add_argument("--langevin_dt_scale", type=float, default=1.0)
     args = p.parse_args()
 
     from twoforone_tpu.utils.cache import enable_compilation_cache
@@ -58,6 +64,10 @@ def main():
         )
     if args.train_iter:
         kwargs["train_iter"] = args.train_iter
+    if args.t_noise is not None:
+        kwargs["t_noise"] = args.t_noise
+    if args.langevin_dt_scale != 1.0:
+        kwargs["langevin_dt_scale"] = args.langevin_dt_scale
 
     t0 = time.time()
     results = run_chain_control(**kwargs)

@@ -42,6 +42,11 @@ def main():
     p.add_argument("--save_interval", type=int, default=250)
     p.add_argument("--eval_samples", type=int, default=50000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dt_scale", type=float, default=1.0)
+    p.add_argument("--save_traj", default=None,
+                   help="save the raw trajectory of the LAST t here (.npy); "
+                   "with control-matching chains/steps/seed it is reusable "
+                   "as the control's cached post_langevin.npy stage")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -58,6 +63,33 @@ def main():
     gd, params, comp = rebuild_control(args.n_beads, args.artifact_dir)
     preset = CHAIN_CONTROL_PRESETS[args.n_beads]
 
+    iid = np.load(args.init)
+    iid = iid[np.isfinite(iid).all(axis=(1, 2))]
+    rng = np.random.default_rng(args.seed + 3)
+    init = iid[rng.integers(0, len(iid), args.chains)]
+
+    # All sims first (TPU-bound), scoring after (CPU-bound scorer fit) —
+    # so the device is released as early as possible for whatever is
+    # queued behind this sweep.
+    trajs = {}
+    for t in args.t:
+        t0 = time.time()
+        sim = LangevinDiffusion(
+            gd, params, init,
+            n_timesteps=args.steps, save_interval=args.save_interval,
+            t=t, temp_data=preset["temp"], temp_sim=preset["temp"],
+            dt=None, masses=[12.0] * args.n_beads, friction=1.0,
+            kb="consistent", random_seed=args.seed, log=False, fused="auto",
+            dt_scale=args.dt_scale,
+        )
+        trajs[t] = np.asarray(sim.sample())
+        if args.save_traj:
+            tmp = args.save_traj + ".tmp.npy"
+            np.save(tmp, trajs[t])
+            os.replace(tmp, args.save_traj)
+        print(f"t={t:3d}  simulated  ({time.time() - t0:.0f}s)", flush=True)
+    print("sims done", flush=True)
+
     print("fitting scorer...", flush=True)
     scorer = SyntheticTicScorer(
         chain_trajectory(200000, comp, seed=args.seed + 10),
@@ -67,34 +99,19 @@ def main():
         chain_dataset(args.eval_samples, comp, seed=args.seed + 12)
     )
 
-    iid = np.load(args.init)
-    iid = iid[np.isfinite(iid).all(axis=(1, 2))]
-    rng = np.random.default_rng(args.seed + 3)
-    init = iid[rng.integers(0, len(iid), args.chains)]
-
     results = {"n_beads": args.n_beads, "tic_js_floor": floor,
-               "chains": args.chains, "steps": args.steps, "t": {}}
+               "chains": args.chains, "steps": args.steps,
+               "dt_scale": args.dt_scale, "t": {}}
     print(f"floor={floor:.4f}  iid_js={scorer.tic_js(iid):.4f}", flush=True)
-    for t in args.t:
-        t0 = time.time()
-        sim = LangevinDiffusion(
-            gd, params, init,
-            n_timesteps=args.steps, save_interval=args.save_interval,
-            t=t, temp_data=preset["temp"], temp_sim=preset["temp"],
-            dt=None, masses=[12.0] * args.n_beads, friction=1.0,
-            kb="consistent", random_seed=args.seed, log=False, fused="auto",
-        )
-        traj = np.asarray(sim.sample())
+    for t, traj in trajs.items():
         finite = np.isfinite(traj).all(axis=(1, 2))
         js = scorer.tic_js(traj[finite]) if finite.any() else float("nan")
         results["t"][t] = {
             "tic_js": js,
             "nonfinite_frac": float(1.0 - finite.mean()),
-            "wall_s": round(time.time() - t0, 1),
         }
         print(f"t={t:3d}  tic_js={js:.4f}  "
-              f"nonfinite={1.0 - finite.mean():.4f}  "
-              f"({time.time() - t0:.0f}s)", flush=True)
+              f"nonfinite={1.0 - finite.mean():.4f}", flush=True)
 
     print(json.dumps(results, indent=2))
     if args.out:

@@ -245,6 +245,7 @@ class LangevinDiffusion:
         restraint_k: float = 0.0,
         max_force: Optional[float] = None,
         mesh=None,
+        dt_scale: float = 1.0,
     ):
         self.norm_factor = float(diffusion.norm_factor)
         init_sample = np.asarray(init_mol, dtype=np.float32) / self.norm_factor
@@ -280,6 +281,13 @@ class LangevinDiffusion:
                 * self.kb_inv
                 / temp_data
             )
+        # BAOAB discretization bias in the sampled stationary distribution
+        # is O(dt^2); the reference's auto-dt formula above targets speed,
+        # not bias, so dt_scale < 1 trades wall-clock for lower stationary
+        # bias when a long run's distribution quality matters more than
+        # covered simulation time (no reference equivalent — its dt is
+        # fixed by the same formula, dynamics/langevin.py:161-168).
+        dt = dt * dt_scale
 
         self.sim = LangevinSimulation(
             force_fn=force_fn,

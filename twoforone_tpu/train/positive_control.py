@@ -151,6 +151,7 @@ def run_chain_control(
     langevin_steps: int = 50000,
     langevin_save_interval: int = 250,
     t_noise: int = None,
+    langevin_dt_scale: float = 1.0,
     seed: int = 0,
     results_folder: str = None,
     loss_weights: str = "ones",
@@ -322,12 +323,15 @@ def run_chain_control(
         t=t_noise, temp_data=temp, temp_sim=temp,
         dt=None, masses=[12.0] * n_beads, friction=1.0,
         kb="consistent", random_seed=seed, log=False, fused=fused,
+        dt_scale=langevin_dt_scale,
     )
     traj_lang = _cached_stage("langevin", sim.sample)
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
     traj_lang = traj_lang[finite_l]
     results["tic_js_langevin"] = scorer.tic_js(traj_lang)
+    results["t_noise_langevin"] = t_noise
+    results["langevin_dt_scale"] = langevin_dt_scale
     results["results_folder"] = results_folder
     return results
 
