@@ -33,6 +33,8 @@ def main():
     p.add_argument("--train_iter", type=int, default=None)
     p.add_argument("--fused", type=str, default="auto")
     p.add_argument("--stage_artifact", type=lambda v: v != "false", default=True)
+    p.add_argument("--force_stage", action="store_true",
+                   help="stage even when the physics bars fail")
     # Crash resilience for long tunneled-TPU runs: checkpoint every
     # eval_interval steps into a stable folder and resume from the last
     # milestone on relaunch.
@@ -74,6 +76,21 @@ def main():
     results["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(results, indent=2))
 
+    # Staging gate: a staged artifact becomes an automated contract
+    # (tests/test_trained_artifacts.py), so only stage results that clear
+    # the same bars the tests assert — a launcher must not be able to
+    # stage a failing artifact (that is how round 4's first chain56 run
+    # briefly landed a red suite).
+    bars_ok = (
+        results["nonfinite_frac_iid"] == 0.0
+        and results["nonfinite_frac_langevin"] == 0.0
+        and results["tic_js_iid"] <= results["tic_js_floor"] + 0.02
+        and results["tic_js_langevin"] <= 0.10
+        and results["pwd_js_iid"] <= 0.01
+    )
+    if args.stage_artifact and not (bars_ok or args.force_stage):
+        print("physics bars FAILED — not staging (use --force_stage to override)")
+        args.stage_artifact = False
     if args.stage_artifact:
         artifact_dir = os.path.join(ASSETS_TRAINED, f"chain{args.n_beads}")
         os.makedirs(artifact_dir, exist_ok=True)

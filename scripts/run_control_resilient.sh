@@ -46,8 +46,11 @@ wait_for_backend() {
 for i in $(seq 1 "$ATTEMPTS"); do
     wait_for_backend || exit 1
     echo "=== attempt $i/$ATTEMPTS $(date -u +%H:%M:%S) ==="
+    # CONTROL_EXTRA: extra chain10_control.py flags (e.g. a train_iter
+    # extension or tuned Langevin knobs), word-split on purpose.
     timeout "$PER_TIMEOUT" /opt/venv/bin/python -u scripts/chain10_control.py \
-        --n_beads "$N" --results_folder "$FOLDER" --resume && exit 0
+        --n_beads "$N" --results_folder "$FOLDER" --resume \
+        ${CONTROL_EXTRA:-} && exit 0
     rc=$?
     echo "=== attempt $i exited rc=$rc; retrying in 120 s ===" >&2
     sleep 120
