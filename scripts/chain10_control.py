@@ -81,14 +81,9 @@ def main():
     # the same bars the tests assert — a launcher must not be able to
     # stage a failing artifact (that is how round 4's first chain56 run
     # briefly landed a red suite).
-    bars_ok = (
-        results["nonfinite_frac_iid"] == 0.0
-        and results["nonfinite_frac_langevin"] == 0.0
-        and results["tic_js_iid"] <= results["tic_js_floor"] + 0.02
-        and results["tic_js_langevin"] <= 0.10
-        and results["pwd_js_iid"] <= 0.01
-    )
-    if args.stage_artifact and not (bars_ok or args.force_stage):
+    from twoforone_tpu.train.positive_control import physics_bars_ok
+
+    if args.stage_artifact and not (physics_bars_ok(results) or args.force_stage):
         print("physics bars FAILED — not staging (use --force_stage to override)")
         args.stage_artifact = False
     if args.stage_artifact:

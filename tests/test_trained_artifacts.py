@@ -52,6 +52,30 @@ def test_staged_control_meets_physics_bars(name):
     assert r["tic_js_iid"] <= floor + 0.02, (name, r["tic_js_iid"], floor)
     assert r["tic_js_langevin"] <= 0.10, (name, r["tic_js_langevin"])
     assert r["pwd_js_iid"] <= 0.01, (name, r["pwd_js_iid"])
+    # The staging gate must agree with the bars above — the predicate the
+    # control CLI gates staging on is the same contract this test asserts.
+    from twoforone_tpu.train.positive_control import physics_bars_ok
+
+    assert physics_bars_ok(r)
+
+
+def test_staging_gate_rejects_failing_results():
+    """physics_bars_ok (the chain10_control.py staging gate) must reject
+    exactly what test_staged_control_meets_physics_bars would fail on."""
+    from twoforone_tpu.train.positive_control import physics_bars_ok
+
+    good = dict(tic_js_floor=0.025, tic_js_iid=0.04, tic_js_langevin=0.08,
+                pwd_js_iid=1e-4, nonfinite_frac_iid=0.0,
+                nonfinite_frac_langevin=0.0)
+    assert physics_bars_ok(good)
+    for bad in (
+        dict(good, tic_js_iid=0.05),           # > floor + 0.02
+        dict(good, tic_js_langevin=0.11),      # > 0.10
+        dict(good, pwd_js_iid=0.02),           # > 0.01
+        dict(good, nonfinite_frac_iid=1e-3),   # non-finite samples
+        dict(good, nonfinite_frac_langevin=1e-3),
+    ):
+        assert not physics_bars_ok(bad), bad
 
 
 @pytest.mark.parametrize("name", _staged)

@@ -105,6 +105,23 @@ class SyntheticTicScorer:
         return float(js_divergence(self.gt_prob.flatten(), prob.flatten()))
 
 
+def physics_bars_ok(results: dict) -> bool:
+    """The staged-artifact physics contract, as one predicate.
+
+    Exactly the bars tests/test_trained_artifacts.py asserts on every
+    staged ``assets/trained/chain{N}/results.json``; staging tooling
+    (scripts/chain10_control.py) gates on this so a launcher cannot stage
+    an artifact the test suite would reject.
+    """
+    return (
+        results["nonfinite_frac_iid"] == 0.0
+        and results["nonfinite_frac_langevin"] == 0.0
+        and results["tic_js_iid"] <= results["tic_js_floor"] + 0.02
+        and results["tic_js_langevin"] <= 0.10
+        and results["pwd_js_iid"] <= 0.01
+    )
+
+
 #: Per-size production-control settings: (PDB topology, Molecules entry,
 #: model shape + optimizer from the reference's shipped configs
 #: (SURVEY "shipped model config"), Langevin noise level + temperature from
