@@ -84,6 +84,14 @@ def run_one(mol: str, b: int = 128):
     per_f = time_chain(kern, x)
     per_xla = time_chain(lambda xx: fn(xx, tt), x)
 
+    # bf16 ACTIVATIONS on the same XLA geometric path (matmuls already ride
+    # the bf16 MXU pass at default precision; this halves HBM traffic too —
+    # the LangevinDiffusion bf16=True production option, physics-validated
+    # at distribution level by the bf16 positive-control bars).
+    model_bf16 = model.clone(dtype=jnp.bfloat16)
+    fn_bf16 = make_score_fn(model_bf16, params)
+    per_xla_bf16 = time_chain(lambda xx: fn_bf16(xx, tt), x)
+
     print(json.dumps({
         "mol": mol, "beads": n, "nf": nf, "path": path, "batch": b,
         "compile_s": round(compile_s, 1),
@@ -92,6 +100,7 @@ def run_one(mol: str, b: int = 128):
         "force_scale": round(scale, 2),
         "fused_us": round(per_f * 1e6, 1),
         "xla_us": round(per_xla * 1e6, 1),
+        "xla_bf16_us": round(per_xla_bf16 * 1e6, 1),
         "speedup": round(per_xla / per_f, 2),
     }), flush=True)
 
