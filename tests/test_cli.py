@@ -113,3 +113,26 @@ def test_sample_cli_langevin(trained_dir):
     assert np.all(np.isfinite(np.asarray(out)))
     eval_dir = os.path.join(trained_dir, "main_eval_output_langevin")
     assert os.path.exists(os.path.join(eval_dir, "sample-langevin.npy"))
+
+
+def test_sample_cli_langevin_dt_scale(trained_dir):
+    """--dt_scale shrinks the step: with auto-dt the halved-dt trajectory
+    must differ from the default one (the knob the chain35/56 control
+    tuning used; it must reach the integrator from the CLI)."""
+    from twoforone_tpu.cli.sample import main
+
+    common = [
+        "--model_path", trained_dir,
+        "--gen_mode", "langevin",
+        "--parallel_sim", "2",
+        "--batch_size_gen", "2",
+        "--n_timesteps", "20",
+        "--save_interval", "10",
+        "--noise_level", "8",
+    ]
+    out_full = main(common + ["--append_exp_name", "dtfull"])
+    out_half = main(common + ["--dt_scale", "0.5",
+                              "--append_exp_name", "dthalf"])
+    assert out_full.shape == out_half.shape
+    assert np.all(np.isfinite(np.asarray(out_half)))
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_half))

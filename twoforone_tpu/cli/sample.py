@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diffusion model noise level for extracting force fields")
     p.add_argument("--dt", type=float, default=None,
                    help="ps; if None computed from the diffusion model parameters")
+    p.add_argument("--dt_scale", type=float, default=1.0,
+                   help="multiply dt (incl. auto-dt) by this; <1 trades "
+                        "wall-clock for a lower BAOAB stationary bias — the "
+                        "lever the chain35/56 control tuning used "
+                        "(docs/STATUS_ROUND4.md)")
     p.add_argument("--temp_data", type=float, default=None)
     p.add_argument("--temp_sim", type=float, default=None)
     p.add_argument("--tempering", action="store_true",
@@ -231,6 +236,7 @@ def main(argv=None):
             temp_data=samp_args.temp_data,
             temp_sim=samp_args.temp_sim,
             dt=samp_args.dt,
+            dt_scale=samp_args.dt_scale,
             masses=masses,
             friction=samp_args.friction,
             kb=samp_args.kb,
