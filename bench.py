@@ -188,7 +188,36 @@ def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):
         time.sleep(60)
 
 
+def _wait_for_chip_lock(max_wait_s: int = 2700):
+    """Honor the advisory chip lock long-running control runs hold.
+
+    `.controls/CHIP_LOCK` holds the pid of a production control / TPU
+    queue using the single tunneled chip. Benchmarking against a live
+    control contaminates the measurement (the BENCH_r03 parallel_sim=100
+    incident, docs/PERF_NOTES.md "Round 4"), so wait while the holder is
+    alive — bounded, and a dead holder's stale lock is ignored.
+    """
+    import sys
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".controls", "CHIP_LOCK")
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            with open(path) as f:
+                pid = int(f.read().split()[0])
+            os.kill(pid, 0)  # raises if the holder is gone
+        except (FileNotFoundError, ValueError, ProcessLookupError,
+                PermissionError):
+            return
+        print(f"# chip lock held by pid {pid}; waiting", file=sys.stderr)
+        time.sleep(30)
+    print("# chip lock wait timed out; benchmarking anyway (result may "
+          "be contention-biased)", file=sys.stderr)
+
+
 def main():
+    _wait_for_chip_lock()
     _wait_for_backend()
     import jax
 

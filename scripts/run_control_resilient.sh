@@ -18,6 +18,12 @@ cd "$(dirname "$0")/.."
 FOLDER=${CONTROL_FOLDER:-$(pwd)/.controls/chain${N}_run}
 mkdir -p "$FOLDER"
 
+# Advisory chip lock: bench.py waits while the holder pid is alive, so a
+# driver bench cannot measure against this run (BENCH_r03 incident).
+mkdir -p "$(pwd)/.controls"
+echo $$ > "$(pwd)/.controls/CHIP_LOCK"
+trap 'rm -f "$(pwd)/.controls/CHIP_LOCK"' EXIT
+
 wait_for_backend() {
     # Probe in a subprocess (a failed in-process init is cached by jax).
     # When the pool is DOWN, backend init hangs in internal retries for
