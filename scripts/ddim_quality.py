@@ -87,6 +87,9 @@ def main():
     p.add_argument("--ancestral", action="store_true",
                    help="also score the full T=1000 ancestral chain")
     p.add_argument("--device", default="default", choices=["cpu", "default"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 score-net compute in the reverse chain "
+                        "(core/diffusion.py sample(bf16=True))")
     p.add_argument("--out", default=None, help="write results JSON here")
     args = p.parse_args()
 
@@ -108,13 +111,15 @@ def main():
     )
     floor = scorer.tic_js(chain_dataset(args.num_samples, comp, seed=12))
     results = {"n_beads": args.n_beads, "tic_js_floor": floor,
-               "eta": args.eta, "solver": args.solver,
+               "eta": args.eta, "solver": args.solver, "bf16": args.bf16,
                "num_samples": args.num_samples}
-    print(f"n_beads={args.n_beads} floor: {floor:.4f}  solver: {args.solver}")
+    print(f"n_beads={args.n_beads} floor: {floor:.4f}  solver: {args.solver}"
+          f"{'  bf16' if args.bf16 else ''}")
 
     def draw(sample_steps):
         fn = gd.make_sample_fn(args.batch, sample_steps=sample_steps,
-                               eta=args.eta, solver=args.solver)
+                               eta=args.eta, solver=args.solver,
+                               bf16=args.bf16)
         outs, key = [], jax.random.PRNGKey(100)
         t0 = time.perf_counter()
         for i in range((args.num_samples + args.batch - 1) // args.batch):

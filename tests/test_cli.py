@@ -95,6 +95,26 @@ def test_sample_cli_iid_ddim(trained_dir, data_folder):
     np.testing.assert_allclose(np.asarray(out).mean(axis=1), 0.0, atol=1e-3)
 
 
+def test_sample_cli_iid_bf16(trained_dir, data_folder):
+    """--bf16 runs the reverse chain with bfloat16 score-net compute
+    (distribution-level equality with f32 is asserted in
+    tests/test_diffusion.py; this drives the CLI surface)."""
+    from twoforone_tpu.cli.sample import main
+
+    out = main([
+        "--model_path", trained_dir,
+        "--gen_mode", "iid",
+        "--num_samples_eval", "6",
+        "--batch_size_gen", "4",
+        "--data_folder", data_folder,
+        "--bf16",
+        "--append_exp_name", "bf16",
+    ])
+    assert out.shape == (6, 5, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out).mean(axis=1), 0.0, atol=1e-3)
+
+
 def test_sample_cli_langevin(trained_dir):
     from twoforone_tpu.cli.sample import main
 

@@ -152,6 +152,32 @@ def test_loss_and_grads():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
 
 
+def test_bf16_sampling_matches_f32_distribution():
+    """bf16 score-net compute in the reverse chain (sample(bf16=True)) must
+    leave the sampled distribution unchanged — same contract the Langevin
+    force path's bf16 flag carries (dynamics/langevin.py). Checked on a
+    randomly-initialized conservative net: whatever distribution the f32
+    chain produces, the bf16 chain must produce the same bead covariance."""
+    gd = _tiny_diffusion(timesteps=100, conservative=True)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    n = 4096
+    s32 = np.asarray(gd.sample(params, n, jax.random.PRNGKey(11)))
+    s16 = np.asarray(gd.sample(params, n, jax.random.PRNGKey(11), bf16=True))
+    assert np.all(np.isfinite(s16))
+    np.testing.assert_allclose(s16.mean(axis=1), 0.0, atol=1e-3)
+
+    def bead_cov(s):
+        s = s.astype(np.float64)
+        return np.einsum("bic,bjc->ij", s, s) / (s.shape[0] * 3)
+
+    c32, c16 = bead_cov(s32), bead_cov(s16)
+    rel = np.linalg.norm(c16 - c32) / np.linalg.norm(c32)
+    # same-key trajectories diverge microscopically (eps-hat rounding), so
+    # the comparison is distributional; 4096 samples put the sampling noise
+    # on bead-cov around 2-3% — bf16 must sit inside that band.
+    assert rel < 0.05, f"bf16 vs f32 bead-cov rel diff {rel:.4f}"
+
+
 def test_p_sample_loop_reproducible():
     gd = _tiny_diffusion()
     params = gd.init_params(jax.random.PRNGKey(0))

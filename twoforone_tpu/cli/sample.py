@@ -60,8 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kb", type=str, default="consistent", help="consistent, kcal")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 score-net compute in the Langevin loop "
-                        "(~1.4x; physics-validated, docs/PERF_NOTES.md)")
+                   help="bfloat16 score-net compute in the Langevin loop and "
+                        "the plain-XLA iid reverse chain (~1.4x at large N; "
+                        "physics-validated, docs/PERF_NOTES.md)")
     p.add_argument("--fused", type=str, default="never",
                    choices=["never", "auto", "cl", "clx", "always"],
                    help="fused Pallas force path: never | auto | cl | clx | "
@@ -71,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="strided DDIM reverse chain with this many score "
                         "evaluations instead of the full T (iid mode and "
                         "langevin initial states; throughput ~T/steps). "
+                        "100 is the measured production knee: +0.003 TIC-JS "
+                        "vs 200 steps at N=20 and N=35, 100k-sample "
+                        "resolution (docs/PERF_NOTES.md round-4 ladder). "
                         "Default: full ancestral chain, reference behavior")
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM noise scale (0 = deterministic, 1 = ancestral "
@@ -80,8 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="strided-chain solver (with --sample_steps): ddim "
                         "(Song et al. 2020, the measured production default) "
                         "or dpm2m (DPM-Solver++(2M), second-order multistep, "
-                        "deterministic, ignores --ddim_eta; wins when score "
-                        "error is small — docs/PERF_NOTES.md quality ladder)")
+                        "deterministic, ignores --ddim_eta; never beat ddim "
+                        "on trained production controls at 100k-sample "
+                        "resolution — it amplifies score-net error; wins "
+                        "only with near-exact scores. docs/PERF_NOTES.md "
+                        "round-4 quality ladder)")
     return p
 
 
@@ -202,7 +209,7 @@ def main(argv=None):
         sample_fn = gd.make_sample_fn(
             batch, mesh=mesh,
             sample_steps=samp_args.sample_steps, eta=samp_args.ddim_eta,
-            solver=samp_args.solver,
+            solver=samp_args.solver, bf16=samp_args.bf16,
         )
         driver = lambda b, k: sample_fn(ema_params, k)
 

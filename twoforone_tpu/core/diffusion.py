@@ -465,10 +465,16 @@ class GaussianDiffusion:
         )
 
     # -- model plumbing ------------------------------------------------------
-    def score_fn(self, params) -> ScoreFn:
+    def score_fn(self, params, bf16: bool = False) -> ScoreFn:
+        """Score closure; ``bf16`` runs the net's compute in bfloat16 (the
+        same lever the Langevin force path uses, dynamics/langevin.py). The
+        chain state and buffers stay float32, so each sampling step's
+        posterior arithmetic promotes back to f32 — only the score-net
+        matmuls/activations ride the half-width HBM path."""
         from twoforone_tpu.models.graph_transformer import make_score_fn
 
-        return make_score_fn(self.model, params)
+        model = self.model.clone(dtype=jnp.bfloat16) if bf16 else self.model
+        return make_score_fn(model, params)
 
     def init_params(self, key):
         x = jnp.zeros((1, self.num_atoms, 3), dtype=jnp.float32)
@@ -519,29 +525,30 @@ class GaussianDiffusion:
 
     def sample(self, params, batch_size: int, key, mesh=None,
                sample_steps: Optional[int] = None, eta: float = 0.0,
-               solver: str = "ddim"):
+               solver: str = "ddim", bf16: bool = False):
         """Draw i.i.d. samples in data units (reference models/ddpm.py:256-263).
 
         ``mesh`` shards the batch axis over the mesh devices (the TPU
         equivalent of the reference's DataParallel SamplerWrapper fan-out,
         sample.py:180-186 / utils.py:201-212). ``sample_steps`` switches to
         a strided chain — ``solver="ddim"`` (``eta``: 0 = deterministic,
-        1 = ancestral noise scale) or ``solver="dpm2m"``."""
+        1 = ancestral noise scale) or ``solver="dpm2m"``. ``bf16`` runs the
+        score net in bfloat16 (chain state stays f32; see ``score_fn``)."""
         shape = (batch_size, self.num_atoms, 3)
         loop = self._sample_loop_fn(sample_steps, eta, solver)
         mol = loop(
-            self.buffers, self.score_fn(params), shape, key,
+            self.buffers, self.score_fn(params, bf16=bf16), shape, key,
             objective=self.objective, mesh=mesh,
         )
         return mol * self.norm_factor
 
     def make_sample_fn(self, batch_size: int, mesh=None,
                        sample_steps: Optional[int] = None, eta: float = 0.0,
-                       solver: str = "ddim"):
+                       solver: str = "ddim", bf16: bool = False):
         """Jitted sampling closure: (params, key) -> (batch, N, 3)."""
         return jax.jit(lambda params, key: self.sample(
             params, batch_size, key, mesh=mesh,
-            sample_steps=sample_steps, eta=eta, solver=solver,
+            sample_steps=sample_steps, eta=eta, solver=solver, bf16=bf16,
         ))
 
     def make_fused_sample_fn(self, params, batch_size: int,
