@@ -85,9 +85,12 @@ def bench_langevin(gd, params, parallel_sim, warmup_steps, timed_steps,
 
 
 def bench_langevin_protein(mol, parallel_sim, warmup_steps, timed_steps):
-    """Langevin steps/s for another shipped protein config (random init —
-    cost is weight-independent; reference workloads span all six proteins,
-    evaluate/sampling_commands.md:8-143). Noise levels/temps per reference."""
+    """(steps/s, params_kind) for another shipped protein config. Uses the
+    staged trained chain{N} control weights when available (same bead
+    count), else random init — cost is weight-independent (≤2%, PERF_NOTES
+    round 4), but physics-and-perf-coincide only holds on trained weights.
+    Reference workloads span all six proteins
+    (evaluate/sampling_commands.md:8-143); noise levels/temps per reference."""
     import jax
 
     from twoforone_tpu.core.diffusion import GaussianDiffusion
@@ -107,12 +110,13 @@ def bench_langevin_protein(mol, parallel_sim, warmup_steps, timed_steps):
         loss_weights="higheruntil_100",
     )
     params = _load_trained_params(gd, n_beads=n)
+    kind = f"trained_chain{n}" if params is not None else "random_init"
     if params is None:
         params = gd.init_params(jax.random.PRNGKey(0))
     return bench_langevin(
         gd, params, parallel_sim, warmup_steps, timed_steps,
         t=t_noise, temp=float(temp_dict[mol.upper()]),
-    )
+    ), kind
 
 
 def bench_iid(gd, params, batch=4096, sample_steps=None):
@@ -248,10 +252,10 @@ def main():
     iid_sps_ddim = bench_iid(gd, params, sample_steps=100)
     # Other shipped proteins (the reference workloads span all six;
     # trp_cage + protein_g bracket the size range above chignolin).
-    sps_trp = bench_langevin_protein(
+    sps_trp, trp_kind = bench_langevin_protein(
         "trp_cage", parallel_sim=1000, warmup_steps=1_000, timed_steps=4_000
     )
-    sps_pg = bench_langevin_protein(
+    sps_pg, pg_kind = bench_langevin_protein(
         "protein_g", parallel_sim=1000, warmup_steps=500, timed_steps=1_000
     )
 
@@ -286,6 +290,7 @@ def main():
             },
             "langevin_steps_per_sec_chip_trp_cage_parallel1000": {
                 "value": round(sps_trp, 2), "unit": "steps/s",
+                "params": trp_kind,
                 "vs_baseline": ratio(
                     sps_trp,
                     "langevin_steps_per_sec_cpu_torch_trp_cage_parallel1000",
@@ -293,6 +298,7 @@ def main():
             },
             "langevin_steps_per_sec_chip_protein_g_parallel1000": {
                 "value": round(sps_pg, 2), "unit": "steps/s",
+                "params": pg_kind,
                 "vs_baseline": ratio(
                     sps_pg,
                     "langevin_steps_per_sec_cpu_torch_protein_g_parallel1000",

@@ -49,14 +49,41 @@ wait_for_backend() {
     done
 }
 
+# Output-stall watchdog: every phase of a control run prints at least once
+# every few minutes (train step lines, sample_from_model heartbeat batches,
+# Langevin log lines), so a log that stops growing for STALL_S seconds means
+# a wedged TPU RPC (futex-wait forever; observed on tunnel outages), not a
+# slow phase. Killing the attempt early lets the resume machinery retry in
+# minutes instead of burning the full PER_TIMEOUT. Generous threshold: cold
+# Mosaic/XLA compiles at new shapes can run ~3-10 min silent.
+STALL_S=${STALL_S:-1200}
+OUT_FILE=$(readlink -f /proc/$$/fd/1 2>/dev/null || true)
+
+run_attempt() {
+    timeout "$PER_TIMEOUT" /opt/venv/bin/python -u scripts/chain10_control.py \
+        --n_beads "$N" --results_folder "$FOLDER" --resume \
+        ${CONTROL_EXTRA:-} &
+    local pid=$!
+    if [ -n "$OUT_FILE" ] && [ -f "$OUT_FILE" ]; then
+        while kill -0 "$pid" 2>/dev/null; do
+            sleep 60
+            local age=$(( $(date +%s) - $(stat -c %Y "$OUT_FILE" 2>/dev/null || date +%s) ))
+            if [ "$age" -ge "$STALL_S" ]; then
+                echo "=== no output for ${age}s — killing wedged attempt ===" >&2
+                kill "$pid" 2>/dev/null
+                break
+            fi
+        done
+    fi
+    wait "$pid"
+}
+
 for i in $(seq 1 "$ATTEMPTS"); do
     wait_for_backend || exit 1
     echo "=== attempt $i/$ATTEMPTS $(date -u +%H:%M:%S) ==="
     # CONTROL_EXTRA: extra chain10_control.py flags (e.g. a train_iter
     # extension or tuned Langevin knobs), word-split on purpose.
-    timeout "$PER_TIMEOUT" /opt/venv/bin/python -u scripts/chain10_control.py \
-        --n_beads "$N" --results_folder "$FOLDER" --resume \
-        ${CONTROL_EXTRA:-} && exit 0
+    run_attempt && exit 0
     rc=$?
     echo "=== attempt $i exited rc=$rc; retrying in 120 s ===" >&2
     sleep 120

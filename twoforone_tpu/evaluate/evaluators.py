@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import time
 from typing import Optional
 
 import numpy as np
@@ -565,12 +566,17 @@ def sample_from_model(sample_fn, num_saved_samples: int, batch_size: int,
     print(f"Generating {num_saved_samples} samples. This may take some time.")
     batches = num_to_groups(num_saved_samples, batch_size)
     out = []
+    last_print = time.monotonic()
     for i, b in enumerate(batches):
         key, sub = jax.random.split(key)
         full = np.asarray(sample_fn(batch_size, sub))
         out.append(full[:b])
-        if verbose:
-            print(f"Batch {i + 1} from {len(batches)} generated")
+        # Heartbeat: long generations (50k x full reverse chain) must not go
+        # silent for an hour — crash-resilient launchers watch log liveness
+        # to distinguish a slow phase from a wedged TPU RPC.
+        if verbose or time.monotonic() - last_print > 60.0:
+            print(f"Batch {i + 1} from {len(batches)} generated", flush=True)
+            last_print = time.monotonic()
     all_mol = np.concatenate(out, axis=0)
     print(f"{len(all_mol)} samples generated")
     return all_mol

@@ -339,7 +339,10 @@ def run_chain_control(
         save_interval=langevin_save_interval,
         t=t_noise, temp_data=temp, temp_sim=temp,
         dt=None, masses=[12.0] * n_beads, friction=1.0,
-        kb="consistent", random_seed=seed, log=False, fused=fused,
+        # log=True: per-save-interval progress prints — the crash-resilient
+        # launcher watches log liveness to tell a slow Langevin stage from a
+        # wedged TPU RPC (a silent 25-minute stage is indistinguishable).
+        kb="consistent", random_seed=seed, log=True, fused=fused,
         dt_scale=langevin_dt_scale,
     )
     traj_lang = _cached_stage("langevin", sim.sample)
