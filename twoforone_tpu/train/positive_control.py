@@ -282,6 +282,12 @@ def run_chain_control(
         # retraining from scratch (tunneled TPU fleets do go down mid-run).
         eval_interval=eval_interval or train_iter,
         start_from_last_saved=resume,
+        # One full pass over the val split per eval (~156 batches at the
+        # control data sizes). The default 5 passes made each mid-train
+        # eval ~20 TPU-minutes at N=56 — longer than the 10k training
+        # steps between evals — for a best-val estimator that one 40k-sample
+        # pass already resolves.
+        iterations_on_val=1,
         log_tensorboard_interval=500,
         steps_per_host_loop=50,
         num_samples=min(2048, num_samples),

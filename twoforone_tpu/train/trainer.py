@@ -403,8 +403,13 @@ class Trainer:
                 val_loss = self.eval_loss(
                     np.asarray(self.val_data.data), val_iters, val_key
                 )
-                sampled_mol = self.sample(cfg.num_samples, key=samp_key)
+                # Sample only when something consumes the samples: the
+                # reference samples each eval to feed Evaluator.eval
+                # (trainer.py:279-284); with evaluators disabled (production
+                # controls) a 2048-sample full reverse chain per eval is
+                # minutes of pure waste at N>=35.
                 if self.evaluator_val is not None:
+                    sampled_mol = self.sample(cfg.num_samples, key=samp_key)
                     results = self.evaluator_val.eval(
                         sampled_mol, milestone=f"{milestone}_iid", save_plots=True
                     )
