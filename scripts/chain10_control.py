@@ -52,18 +52,37 @@ def main():
     from twoforone_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from twoforone_tpu.train.positive_control import run_chain_control
+    from twoforone_tpu.train.positive_control import (
+        ALA5_CONTROL_PRESET,
+        dipeptide_bars_ok,
+        physics_bars_ok,
+        run_chain_control,
+        run_positive_control,
+    )
 
-    kwargs = dict(n_beads=args.n_beads, fused=args.fused,
-                  eval_interval=args.eval_interval, resume=args.resume)
+    # n_beads=5 is the ala2-analog (dihedral-JS family) production control:
+    # same launcher/resilience contract, but the dipeptide experiment with
+    # the measured-green recipe and dihedral bars instead of TIC bars.
+    ala5 = args.n_beads == 5
+    if ala5:
+        kwargs = dict(ALA5_CONTROL_PRESET,
+                      eval_interval=args.eval_interval, resume=args.resume,
+                      log_langevin=True)
+    else:
+        kwargs = dict(n_beads=args.n_beads, fused=args.fused,
+                      eval_interval=args.eval_interval, resume=args.resume)
     if args.results_folder:
         os.makedirs(args.results_folder, exist_ok=True)
         kwargs["results_folder"] = args.results_folder
     if args.quick:
-        kwargs.update(
-            train_iter=8000, n_data=120000, num_samples=20000,
-            langevin_chains=256, langevin_steps=20000, eval_samples=20000,
-        )
+        if ala5:
+            kwargs.update(train_iter=8000, n_data=60000, num_samples=20000,
+                          langevin_chains=128, langevin_steps=10000)
+        else:
+            kwargs.update(
+                train_iter=8000, n_data=120000, num_samples=20000,
+                langevin_chains=256, langevin_steps=20000, eval_samples=20000,
+            )
     if args.train_iter:
         kwargs["train_iter"] = args.train_iter
     if args.t_noise is not None:
@@ -72,7 +91,7 @@ def main():
         kwargs["langevin_dt_scale"] = args.langevin_dt_scale
 
     t0 = time.time()
-    results = run_chain_control(**kwargs)
+    results = (run_positive_control if ala5 else run_chain_control)(**kwargs)
     results["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(results, indent=2))
 
@@ -81,16 +100,18 @@ def main():
     # the same bars the tests assert — a launcher must not be able to
     # stage a failing artifact (that is how round 4's first chain56 run
     # briefly landed a red suite).
-    from twoforone_tpu.train.positive_control import physics_bars_ok
+    bars_ok = dipeptide_bars_ok if ala5 else physics_bars_ok
 
-    if args.stage_artifact and not (physics_bars_ok(results) or args.force_stage):
+    if args.stage_artifact and not (bars_ok(results) or args.force_stage):
         print("physics bars FAILED — not staging (use --force_stage to override)")
         args.stage_artifact = False
     if args.stage_artifact:
-        artifact_dir = os.path.join(ASSETS_TRAINED, f"chain{args.n_beads}")
+        artifact = "ala5" if ala5 else f"chain{args.n_beads}"
+        artifact_dir = os.path.join(ASSETS_TRAINED, artifact)
         os.makedirs(artifact_dir, exist_ok=True)
         src = os.path.join(
-            results["results_folder"], f"chain{args.n_beads}_control_"
+            results["results_folder"],
+            "positive_control_" if ala5 else f"chain{args.n_beads}_control_",
         )
         for name in ("model-best.msgpack", "config.json"):
             path = os.path.join(src, name)

@@ -111,6 +111,75 @@ def test_staged_checkpoint_matches_preset_shape(name):
     assert not mismatched, mismatched
 
 
+_ALA5_STAGED = os.path.exists(os.path.join(_TRAINED, "ala5", "results.json"))
+
+
+@pytest.mark.skipif(not _ALA5_STAGED, reason="no staged ala5 artifact")
+def test_staged_ala5_meets_dihedral_bars():
+    """The ala2-analog artifact's bars are the dihedral-JS family (the
+    metric the reference scores ala2 with, evaluate/evaluators.py ala2 ->
+    dihedral JS), not TIC-JS: iid dihedral JS within 0.02 of the
+    statistical floor, Langevin-from-extracted-forces JS < 0.05 (the level
+    the reference's trained ala2 models reach on real data), PWD JS at
+    histogram-noise level, bf16 force path at the f32 distribution, and no
+    non-finite samples."""
+    r = _results("ala5")
+    assert r["nonfinite_frac_iid"] == 0.0
+    assert r["nonfinite_frac_langevin"] == 0.0
+    assert r["js_iid"] <= r["js_floor"] + 0.02, (r["js_iid"], r["js_floor"])
+    assert r["js_langevin_f32"] <= 0.05, r["js_langevin_f32"]
+    assert r["pwd_js_iid"] <= 0.01, r["pwd_js_iid"]
+    assert r.get("js_bf16_vs_f32", 0.0) <= 0.02, r.get("js_bf16_vs_f32")
+    from twoforone_tpu.train.positive_control import dipeptide_bars_ok
+
+    assert dipeptide_bars_ok(r)
+
+
+def test_ala5_staging_gate_rejects_failing_results():
+    from twoforone_tpu.train.positive_control import dipeptide_bars_ok
+
+    good = dict(js_floor=0.015, js_iid=0.016, js_langevin_f32=0.035,
+                pwd_js_iid=1e-4, js_bf16_vs_f32=0.009,
+                nonfinite_frac_iid=0.0, nonfinite_frac_langevin=0.0)
+    assert dipeptide_bars_ok(good)
+    for bad in (
+        dict(good, js_iid=0.04),               # > floor + 0.02
+        dict(good, js_langevin_f32=0.06),      # > 0.05
+        dict(good, pwd_js_iid=0.02),           # > 0.01
+        dict(good, js_bf16_vs_f32=0.03),       # bf16 drifted off f32
+        dict(good, nonfinite_frac_iid=1e-3),
+        dict(good, nonfinite_frac_langevin=1e-3),
+    ):
+        assert not dipeptide_bars_ok(bad), bad
+
+
+@pytest.mark.skipif(not _ALA5_STAGED, reason="no staged ala5 artifact")
+def test_staged_ala5_checkpoint_matches_preset_shape():
+    import jax
+
+    from twoforone_tpu.core.diffusion import GaussianDiffusion
+    from twoforone_tpu.models.graph_transformer import GraphTransformer
+    from twoforone_tpu.train.positive_control import ALA5_CONTROL_PRESET
+    from twoforone_tpu.utils.checkpoint import load_checkpoint
+
+    model = GraphTransformer(
+        num_beads=5, hidden_nf=ALA5_CONTROL_PRESET["hidden_nf"],
+        n_layers=ALA5_CONTROL_PRESET["n_layers"], use_intrinsic_coords=True,
+        use_abs_coords=False, use_distances=False, conservative=True,
+    )
+    gd = GaussianDiffusion(model=model, num_atoms=5, timesteps=1000,
+                           norm_factor=1.0, loss_weights="ones")
+    template = {"ema_params": gd.init_params(jax.random.PRNGKey(0))}
+    state = load_checkpoint(os.path.join(_TRAINED, "ala5"), "best", template)
+    mismatched = []
+    jax.tree_util.tree_map_with_path(
+        lambda path, t, s: mismatched.append((path, t.shape, s.shape))
+        if t.shape != s.shape else None,
+        template["ema_params"], state["ema_params"],
+    )
+    assert not mismatched, mismatched
+
+
 def test_at_least_two_controls_staged():
     """chain10 (mega-kernel path) and chain20 (clx path) are committed
     artifacts; losing them from the package is a packaging regression."""

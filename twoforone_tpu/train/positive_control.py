@@ -367,6 +367,38 @@ def run_chain10_control(**kwargs) -> dict:
     return run_chain_control(n_beads=10, **kwargs)
 
 
+#: Production configuration for the staged ala2-analog artifact
+#: (``assets/trained/ala5/``): the measured-green recipe of
+#: docs/POSITIVE_CONTROL.md (js_iid lands AT the statistical floor,
+#: Langevin 0.035 < 0.05). Model shape per the reference's ala2 family
+#: (5 CG beads; mass 12.8, T=300 K are hardcoded in run_positive_control,
+#: matching reference trainer.py:352 / dynamics/langevin.py temp table).
+ALA5_CONTROL_PRESET = dict(
+    train_iter=80000, n_data=200000, batch_size=1024,
+    hidden_nf=64, n_layers=3, learning_rate=6e-4,
+    num_samples=40000, langevin_chains=256, langevin_steps=30000,
+    langevin_save_interval=100, t_noise=15,
+)
+
+
+def dipeptide_bars_ok(results: dict) -> bool:
+    """Staged-artifact physics contract for the ala2-analog (dihedral-JS)
+    control — the dihedral-family counterpart of :func:`physics_bars_ok`.
+    Exactly the bars tests/test_trained_artifacts.py asserts on a staged
+    ``assets/trained/ala5/results.json``."""
+    return (
+        results["nonfinite_frac_iid"] == 0.0
+        and results.get("nonfinite_frac_langevin", 1.0) == 0.0
+        and results["js_iid"] <= results["js_floor"] + 0.02
+        and results["js_langevin_f32"] <= 0.05
+        and results["pwd_js_iid"] <= 0.01
+        # bf16 force path must be distribution-level indistinguishable
+        # from f32 (the claim behind the bf16 production defaults); when
+        # the comparison was run, hold it to the measured-floor level.
+        and results.get("js_bf16_vs_f32", 0.0) <= 0.02
+    )
+
+
 def run_positive_control(
     train_iter: int = 4000,
     n_data: int = 40000,
@@ -388,8 +420,17 @@ def run_positive_control(
     n_bins: int = 61,
     final_eval_samples: int = None,
     timesteps: int = 1000,
+    eval_interval: int = None,
+    resume: bool = False,
+    langevin_dt_scale: float = 1.0,
+    log_langevin: bool = False,
 ) -> dict:
-    """Run the whole control experiment; returns the metric dict."""
+    """Run the whole control experiment; returns the metric dict.
+
+    ``eval_interval``/``resume`` give the same crash resilience as
+    :func:`run_chain_control` (mid-train checkpoint milestones + cached
+    post-train stages) for production staging runs on the tunneled TPU.
+    """
     import jax
 
     from twoforone_tpu.core.diffusion import GaussianDiffusion
@@ -451,7 +492,11 @@ def run_positive_control(
         learning_rate=learning_rate,
         min_lr_cosine_anneal=learning_rate / 20,
         train_iter=train_iter,
-        eval_interval=train_iter,  # no mid-train eval; final_eval still runs
+        # Default: no mid-train eval (final_eval still runs); production
+        # staging runs pass eval_interval + resume for crash resilience.
+        eval_interval=eval_interval or train_iter,
+        start_from_last_saved=resume,
+        iterations_on_val=1,
         log_tensorboard_interval=100,
         num_samples=final_eval_samples or min(2048, num_samples),
         num_samples_final_eval=final_eval_samples or min(2048, num_samples),
@@ -460,9 +505,24 @@ def run_positive_control(
     )
     trainer = Trainer(gd, (trainset, valset, testset), "alanine", cfg, use_tensorboard=False)
     trainer.train()
+    trainer.save("final")
+
+    # Cached post-train stages (see run_chain_control._cached_stage): a
+    # crash-resilient relaunch with resume=True must not redo a completed
+    # sampling/Langevin stage.
+    def _cached_stage(name, compute):
+        path = os.path.join(results_folder, f"post_{name}.npy")
+        if resume and os.path.exists(path):
+            print(f"post-train stage '{name}': loaded from {path}")
+            return np.load(path)
+        arr = np.asarray(compute())
+        tmp = path + ".tmp.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+        return arr
 
     # ---- i.i.d. samples through the full reverse chain (EMA weights)
-    iid = np.asarray(trainer.sample(num_samples))
+    iid = _cached_stage("iid", lambda: trainer.sample(num_samples))
     finite = np.isfinite(iid).all(axis=(1, 2))
     nonfinite_frac = float(1.0 - finite.mean())
     iid = iid[finite]
@@ -503,18 +563,25 @@ def run_positive_control(
             friction=1.0,
             kb="consistent",
             random_seed=seed,
-            log=False,
+            log=log_langevin,
             bf16=bf16,
+            dt_scale=langevin_dt_scale,
         )
         return sim.sample()
 
-    traj_f32 = run_langevin(False)
+    traj_f32 = _cached_stage("langevin_f32", lambda: run_langevin(False))
+    finite_l = np.isfinite(traj_f32).all(axis=(1, 2))
+    results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
+    traj_f32 = traj_f32[finite_l]
     results["js_langevin_f32"] = dihedral_js(traj_f32, reference, n_bins=n_bins)
     results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
     if bf16_compare:
-        traj_bf16 = run_langevin(True)
+        traj_bf16 = _cached_stage("langevin_bf16", lambda: run_langevin(True))
+        traj_bf16 = traj_bf16[np.isfinite(traj_bf16).all(axis=(1, 2))]
         results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference, n_bins=n_bins)
         results["js_bf16_vs_f32"] = dihedral_js(traj_bf16, traj_f32, n_bins=n_bins)
         results["pwd_js_bf16_vs_f32"] = pwd_js(traj_bf16, traj_f32)
+    results["t_noise_langevin"] = t_noise
+    results["langevin_dt_scale"] = langevin_dt_scale
     results["results_folder"] = results_folder
     return results
