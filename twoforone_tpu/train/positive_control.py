@@ -354,6 +354,21 @@ def run_chain_control(
     traj_lang = _cached_stage("langevin", sim.sample)
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
+    if finite_l.all():
+        # Basin-exchange (ergodicity) report on the chain-major trajectory
+        # — the stationary TIC-JS bar below cannot see frozen chains
+        # because they are iid-initialized (evaluate/ergodicity.py).
+        # Informational: recorded in results.json, asserted by tests only
+        # when present. Skipped when any frame is non-finite (the run
+        # fails the bars then anyway, and NaN angles poison the labels).
+        from twoforone_tpu.evaluate.ergodicity import slow_torsion_ergodicity
+
+        erg = slow_torsion_ergodicity(
+            traj_lang.reshape(langevin_chains, -1, n_beads, 3), components
+        )
+        results["langevin_min_hop_fraction"] = erg["min_hop_fraction"]
+        results["langevin_max_occupancy_error"] = erg["max_occupancy_error"]
+        results["langevin_ergodic"] = erg["ergodic"]
     traj_lang = traj_lang[finite_l]
     results["tic_js_langevin"] = scorer.tic_js(traj_lang)
     results["t_noise_langevin"] = t_noise
@@ -572,6 +587,17 @@ def run_positive_control(
     traj_f32 = _cached_stage("langevin_f32", lambda: run_langevin(False))
     finite_l = np.isfinite(traj_f32).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
+    if finite_l.all():
+        # Basin-exchange report over phi/psi (see run_chain_control).
+        from twoforone_tpu.evaluate.ergodicity import slow_torsion_ergodicity
+
+        erg = slow_torsion_ergodicity(
+            traj_f32.reshape(langevin_chains, -1, 5, 3),
+            [mix["phi_components"], mix["psi_components"]],
+        )
+        results["langevin_min_hop_fraction"] = erg["min_hop_fraction"]
+        results["langevin_max_occupancy_error"] = erg["max_occupancy_error"]
+        results["langevin_ergodic"] = erg["ergodic"]
     traj_f32 = traj_f32[finite_l]
     results["js_langevin_f32"] = dihedral_js(traj_f32, reference, n_bins=n_bins)
     results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
