@@ -100,7 +100,9 @@ def test_shape_validation():
         hop_statistics(np.zeros(10, dtype=int))
 
 
-@pytest.mark.parametrize("name", ["chain10", "chain20", "chain35", "chain56"])
+@pytest.mark.parametrize(
+    "name", ["chain10", "chain20", "chain28", "chain35", "chain56", "ala5"]
+)
 def test_staged_artifact_langevin_ergodic_when_recorded(name):
     """Staged controls that recorded the basin-exchange report must be
     ergodic: every slow torsion crossed by a nontrivial fraction of chains.
