@@ -192,6 +192,34 @@ def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):
         time.sleep(60)
 
 
+_CONTROLS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".controls"
+)
+_BENCH_FLAG = os.path.join(_CONTROLS_DIR, "BENCH_WAITING")
+
+
+def _set_bench_flag():
+    """Raise the bench-preemption flag (utils/preempt protocol).
+
+    A live control run sees it at its next lossless boundary (train
+    milestone / post-train stage), checkpoints, exits 75, and its launcher
+    releases the chip lock until we clear the flag — so a multi-hour
+    control cannot starve the round-end bench (the BENCH_r04 rc=124
+    incident). The flag stays up through the whole measurement window and
+    is cleared in main()'s finally.
+    """
+    os.makedirs(_CONTROLS_DIR, exist_ok=True)
+    with open(_BENCH_FLAG, "w") as f:
+        f.write(f"{os.getpid()} {time.time():.0f}\n")
+
+
+def _clear_bench_flag():
+    try:
+        os.remove(_BENCH_FLAG)
+    except FileNotFoundError:
+        pass
+
+
 def _wait_for_chip_lock(max_wait_s: int = 2700):
     """Honor the advisory chip lock long-running control runs hold.
 
@@ -199,21 +227,30 @@ def _wait_for_chip_lock(max_wait_s: int = 2700):
     queue using the single tunneled chip. Benchmarking against a live
     control contaminates the measurement (the BENCH_r03 parallel_sim=100
     incident, docs/PERF_NOTES.md "Round 4"), so wait while the holder is
-    alive — bounded, and a dead holder's stale lock is ignored.
+    alive — bounded, and a dead holder's stale lock is ignored. The
+    preemption flag raised by :func:`_set_bench_flag` makes cooperative
+    holders release within one checkpoint interval, so this normally
+    returns in minutes.
     """
     import sys
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".controls", "CHIP_LOCK")
+    path = os.path.join(_CONTROLS_DIR, "CHIP_LOCK")
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
         try:
             with open(path) as f:
                 pid = int(f.read().split()[0])
-            os.kill(pid, 0)  # raises if the holder is gone
-        except (FileNotFoundError, ValueError, ProcessLookupError,
-                PermissionError):
+        except (FileNotFoundError, ValueError, PermissionError):
             return
+        try:
+            os.kill(pid, 0)  # raises if the holder is gone
+        except ProcessLookupError:
+            return
+        except PermissionError:
+            # The pid is ALIVE but unsignalable (different user) — that is
+            # lock-held, not holder-gone: proceeding would measure against
+            # a live control (round-4 advisor finding).
+            pass
         print(f"# chip lock held by pid {pid}; waiting", file=sys.stderr)
         time.sleep(30)
     print("# chip lock wait timed out; benchmarking anyway (result may "
@@ -221,6 +258,14 @@ def _wait_for_chip_lock(max_wait_s: int = 2700):
 
 
 def main():
+    _set_bench_flag()
+    try:
+        _main_measurements()
+    finally:
+        _clear_bench_flag()
+
+
+def _main_measurements():
     _wait_for_chip_lock()
     _wait_for_backend()
     import jax

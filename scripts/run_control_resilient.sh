@@ -21,8 +21,36 @@ mkdir -p "$FOLDER"
 # Advisory chip lock: bench.py waits while the holder pid is alive, so a
 # driver bench cannot measure against this run (BENCH_r03 incident).
 mkdir -p "$(pwd)/.controls"
-echo $$ > "$(pwd)/.controls/CHIP_LOCK"
-trap 'rm -f "$(pwd)/.controls/CHIP_LOCK"' EXIT
+LOCK="$(pwd)/.controls/CHIP_LOCK"
+# Bench-preemption flag (twoforone_tpu/utils/preempt.py protocol): bench.py
+# touches this before waiting on the lock; the Python control checks it at
+# lossless boundaries (train milestones, cached post-train stages) and
+# exits 75; we then release the lock until the bench clears the flag —
+# so a control can never starve the round-end bench (BENCH_r04 rc=124).
+FLAG="$(pwd)/.controls/BENCH_WAITING"
+export TWOFORONE_PREEMPT_FLAG="$FLAG"
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+
+yield_to_bench() {
+    # Release the chip while a bench is waiting; re-acquire when done.
+    [ -e "$FLAG" ] || return 0
+    echo "=== bench waiting — released chip lock $(date -u +%H:%M:%S) ===" >&2
+    rm -f "$LOCK"
+    while [ -e "$FLAG" ]; do
+        # Staleness bail-out: a bench that crashed without removing its
+        # flag must not park the control forever.
+        local age=$(( $(date +%s) - $(stat -c %Y "$FLAG" 2>/dev/null || date +%s) ))
+        if [ "$age" -ge "${BENCH_FLAG_STALE_S:-3600}" ]; then
+            echo "=== bench flag stale (${age}s) — clearing it ===" >&2
+            rm -f "$FLAG"
+            break
+        fi
+        sleep 15
+    done
+    echo $$ > "$LOCK"
+    echo "=== bench done — re-acquired chip lock $(date -u +%H:%M:%S) ===" >&2
+}
 
 wait_for_backend() {
     # Probe in a subprocess (a failed in-process init is cached by jax).
@@ -78,14 +106,23 @@ run_attempt() {
     wait "$pid"
 }
 
-for i in $(seq 1 "$ATTEMPTS"); do
+i=1
+while [ "$i" -le "$ATTEMPTS" ]; do
+    yield_to_bench
     wait_for_backend || exit 1
     echo "=== attempt $i/$ATTEMPTS $(date -u +%H:%M:%S) ==="
     # CONTROL_EXTRA: extra chain10_control.py flags (e.g. a train_iter
     # extension or tuned Langevin knobs), word-split on purpose.
     run_attempt && exit 0
     rc=$?
+    if [ "$rc" -eq 75 ]; then
+        # Bench preemption (EX_TEMPFAIL): the run checkpointed and yielded.
+        # Pause, then resume WITHOUT consuming an attempt.
+        yield_to_bench
+        continue
+    fi
     echo "=== attempt $i exited rc=$rc; retrying in 120 s ===" >&2
+    i=$((i + 1))
     sleep 120
 done
 echo "=== all $ATTEMPTS attempts failed ===" >&2

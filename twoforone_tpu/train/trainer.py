@@ -39,6 +39,7 @@ from twoforone_tpu.evaluate.evaluators import Evaluator, sample_from_model
 from twoforone_tpu.ops.geometry import random_rotation
 from twoforone_tpu.parallel.mesh import get_mesh, replicate, shard_batch
 from twoforone_tpu.train.ema import EMAConfig, ema_update, init_ema
+from twoforone_tpu.utils.preempt import exit_if_preempted
 from twoforone_tpu.utils.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
@@ -420,6 +421,9 @@ class Trainer:
                 new_best = val_loss < self.best_val_loss
                 self.best_val_loss = val_loss if new_best else self.best_val_loss
                 self.save(milestone, save_best=new_best)
+                # Milestone just persisted = a lossless pause point: yield
+                # the chip if the round-end bench is waiting (utils/preempt).
+                exit_if_preempted(f"train milestone {milestone} (step {step})")
                 early_stopping_counter = 0 if new_best else early_stopping_counter + 1
                 if early_stopping_counter > 9:
                     break
