@@ -46,7 +46,9 @@ def main():
     # analogous tuning loop for a control artifact, and its winner is fed
     # back here to re-run just the (cached) Langevin stage at the tuned t.
     p.add_argument("--t_noise", type=int, default=None)
-    p.add_argument("--langevin_dt_scale", type=float, default=1.0)
+    p.add_argument("--langevin_dt_scale", type=float, default=None,
+                   help="default: the measured per-protein production value "
+                        "(data/molecules.default_dt_scale)")
     args = p.parse_args()
 
     from twoforone_tpu.utils.cache import enable_compilation_cache
@@ -87,7 +89,7 @@ def main():
         kwargs["train_iter"] = args.train_iter
     if args.t_noise is not None:
         kwargs["t_noise"] = args.t_noise
-    if args.langevin_dt_scale != 1.0:
+    if args.langevin_dt_scale is not None:
         kwargs["langevin_dt_scale"] = args.langevin_dt_scale
 
     t0 = time.time()

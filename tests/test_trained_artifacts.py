@@ -68,12 +68,21 @@ def test_staging_gate_rejects_failing_results():
                 pwd_js_iid=1e-4, nonfinite_frac_iid=0.0,
                 nonfinite_frac_langevin=0.0)
     assert physics_bars_ok(good)
+    # With the basin-exchange report recorded, the gate also asserts the
+    # ergodicity bars (gate == test contract, see ergodicity_bars_ok).
+    good_erg = dict(good, langevin_ergodic=True,
+                    langevin_min_hop_fraction=0.146,
+                    langevin_max_occupancy_error=0.069)
+    assert physics_bars_ok(good_erg)
     for bad in (
         dict(good, tic_js_iid=0.05),           # > floor + 0.02
         dict(good, tic_js_langevin=0.11),      # > 0.10
         dict(good, pwd_js_iid=0.02),           # > 0.01
         dict(good, nonfinite_frac_iid=1e-3),   # non-finite samples
         dict(good, nonfinite_frac_langevin=1e-3),
+        dict(good_erg, langevin_ergodic=False),
+        dict(good_erg, langevin_min_hop_fraction=0.05),   # < 0.10
+        dict(good_erg, langevin_max_occupancy_error=0.2), # > 0.10
     ):
         assert not physics_bars_ok(bad), bad
 
@@ -149,6 +158,8 @@ def test_ala5_staging_gate_rejects_failing_results():
         dict(good, js_bf16_vs_f32=0.03),       # bf16 drifted off f32
         dict(good, nonfinite_frac_iid=1e-3),
         dict(good, nonfinite_frac_langevin=1e-3),
+        dict(good, langevin_ergodic=True,
+             langevin_min_hop_fraction=0.05),  # recorded but below the bar
     ):
         assert not dipeptide_bars_ok(bad), bad
 

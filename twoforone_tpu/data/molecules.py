@@ -73,6 +73,45 @@ temp_dict_pt = {
     },
 }
 
+# Measured BAOAB step-size derates for extracted-force-field Langevin
+# (the ``dt_scale`` knob of dynamics/langevin.LangevinDiffusion). The
+# reference pins per-protein noise levels and temperatures
+# (evaluate/sampling_commands.md:12-80, dynamics/langevin.py:11-26); this
+# table is the analogous production contract for the step size: BAOAB's
+# stationary-distribution bias grows with dt and with system size, and at
+# the auto-dt default the villin-scale control measurably fails the
+# physics bar (TIC-JS 0.1115 > 0.10) while the derated values below are
+# measured green (scripts/langevin_t_sweep.py; assets/trained/chain35 and
+# chain56 results.json). Sizes without a measured entry fall back to the
+# size rule in :func:`default_dt_scale`.
+langevin_dt_scale_dict = {
+    "ALANINE_DIPEPTIDE_FUBERLIN": 1.0,
+    "ALANINE_DIPEPTIDE_MDSHARE": 1.0,
+    "CHIGNOLIN": 1.0,   # N=10, measured green at 1.0 (assets/trained/chain10)
+    "TRP_CAGE": 1.0,    # N=20, measured green at 1.0 (assets/trained/chain20)
+    "BBA": 0.5,         # N=28, tuned at the neighbouring N=35
+    "VILLIN": 0.5,      # N=35, measured green (chain35; 1.0 fails at 0.1115)
+    "PROTEIN_G": 0.35,  # N=56, measured green (chain56)
+}
+
+
+def default_dt_scale(mol_name: str, num_beads: int = None) -> float:
+    """Production default for the Langevin ``dt_scale`` knob.
+
+    Measured per-protein values where a trained control validated them
+    (``langevin_dt_scale_dict``); otherwise a conservative size rule
+    interpolating the measured regimes (<25 beads: 1.0; 25-49: 0.5;
+    >=50: 0.35). Used by cli/sample.py when ``--dt_scale`` is not given
+    and by the control launchers.
+    """
+    knob = langevin_dt_scale_dict.get(mol_name.upper())
+    if knob is not None:
+        return knob
+    if num_beads is None or num_beads < 25:
+        return 1.0
+    return 0.5 if num_beads < 50 else 0.35
+
+
 # Physics constants (dynamics/langevin.py:6-9): Boltzmann constant in
 # g/mol * Angstrom^2 / ps^2 / K, plus SI anchors for the kcal variant.
 KBOLTZMANN = 1.38064852e-23

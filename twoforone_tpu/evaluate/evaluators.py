@@ -237,7 +237,8 @@ class PwdEvaluator:
         self.resolution = 0.1
         self.gt_pwd_triu = None
 
-        if saved_ref == "none":
+        defaulted_ref = saved_ref == "none"
+        if defaulted_ref:
             saved_ref = os.path.join(
                 SAVED_REFERENCES_DIR,
                 f"saved_pwd_{mol_name.upper()}_{evalset}_offset_{self.offset}.pickle",
@@ -264,7 +265,25 @@ class PwdEvaluator:
             # folders remain evaluable "in the absence of reference data"
             # (saved_references/README.md), adjusting self.offset so sampled
             # PWDs use the same pair set as the golden histograms.
-            if not os.path.exists(saved_ref) and mol_name:
+            if not os.path.exists(saved_ref) and not defaulted_ref:
+                # An explicitly requested pickle that is absent is a caller
+                # error — silently scoring against a different pair set
+                # would change the metric's definition under the caller
+                # (round-4 advisor finding).
+                raise FileNotFoundError(
+                    f"PwdEvaluator: explicit saved_ref does not exist: "
+                    f"{saved_ref}"
+                )
+            # The fallback below fires ONLY for the default construction
+            # (saved_ref='none', offset=0 — what the orchestrating
+            # Evaluator builds); an explicit non-zero offset keeps the
+            # strict contract.
+            if (
+                not os.path.exists(saved_ref)
+                and defaulted_ref
+                and self.offset == 0
+                and mol_name
+            ):
                 fallback = os.path.join(
                     SAVED_REFERENCES_DIR,
                     f"saved_pwd_{mol_name.upper()}_{evalset}_offset_3.pickle",

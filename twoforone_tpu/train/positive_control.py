@@ -41,6 +41,36 @@ from twoforone_tpu.evaluate.metrics import get_prob, get_torsions, js_divergence
 _ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
 
 
+def _cached_stage(results_folder, name, compute, resume):
+    """Post-training stage cache: the iid-sample and Langevin stages are the
+    expensive tail of a production control (tens of TPU-minutes at N>=35).
+    Crash-resilient relaunches (resume=True) must not redo a completed
+    stage, so each stage persists its raw product in the stable
+    results_folder and is skipped when the file already exists.
+
+    ``name`` must encode every knob that defines the stage's output (e.g.
+    the Langevin stage is ``langevin_t{t}_dt{scale}``): the cache is keyed
+    by filename, so a knob left out of the name would let a resumed run
+    silently reuse a trajectory generated at the old settings while
+    results.json records the new ones (round-4 advisor finding).
+
+    Stage boundaries are also lossless bench-preemption points: everything
+    before this stage is already persisted (utils/preempt protocol).
+    """
+    from twoforone_tpu.utils.preempt import exit_if_preempted
+
+    path = os.path.join(results_folder, f"post_{name}.npy")
+    if resume and os.path.exists(path):
+        print(f"post-train stage '{name}': loaded from {path}")
+        return np.load(path)
+    exit_if_preempted(f"post-train stage '{name}'")
+    arr = np.asarray(compute())
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+    return arr
+
+
 def dihedral_js(coords_a, coords_b, n_bins: int = 61) -> float:
     """JS between the 2D phi/psi histograms of two conformation sets."""
     pa = get_prob(get_torsions(coords_a), n_bins=n_bins)
@@ -119,6 +149,25 @@ def physics_bars_ok(results: dict) -> bool:
         and results["tic_js_iid"] <= results["tic_js_floor"] + 0.02
         and results["tic_js_langevin"] <= 0.10
         and results["pwd_js_iid"] <= 0.01
+        and ergodicity_bars_ok(results)
+    )
+
+
+def ergodicity_bars_ok(results: dict) -> bool:
+    """Basin-exchange bar shared by both staging gates and the staged-artifact
+    tests (tests/test_ergodicity.py) — gate and test must assert the SAME
+    contract, or a launcher could stage an artifact the suite rejects
+    (round-4 advisor finding). Thresholds are the measured-green levels of
+    the staged artifacts (chain35: hop 0.153/occ 0.072; chain56: 0.146/0.069),
+    not the vacuous ``> 0`` the report's own ``ergodic`` field uses
+    (evaluate/ergodicity.py — kept as a necessary condition there).
+    Artifacts staged before the ergodicity report existed record none of
+    these keys and pass vacuously.
+    """
+    return (
+        results.get("langevin_ergodic", True)
+        and results.get("langevin_min_hop_fraction", 1.0) >= 0.10
+        and results.get("langevin_max_occupancy_error", 0.0) <= 0.10
     )
 
 
@@ -168,7 +217,7 @@ def run_chain_control(
     langevin_steps: int = 50000,
     langevin_save_interval: int = 250,
     t_noise: int = None,
-    langevin_dt_scale: float = 1.0,
+    langevin_dt_scale: float = None,
     seed: int = 0,
     results_folder: str = None,
     loss_weights: str = "ones",
@@ -218,6 +267,13 @@ def run_chain_control(
         preset["learning_rate"] if learning_rate is None else learning_rate
     )
     t_noise = preset["t_noise"] if t_noise is None else t_noise
+    if langevin_dt_scale is None:
+        # Measured per-protein production default (data/molecules.py) —
+        # the same table cli/sample.py resolves, so a control validates
+        # exactly the knobs a production user gets.
+        from twoforone_tpu.data.molecules import default_dt_scale
+
+        langevin_dt_scale = default_dt_scale(preset["mol"], n_beads)
     temp = preset["temp"]
     if batch_size is None:
         batch_size = preset.get("batch_size", 512)
@@ -300,21 +356,9 @@ def run_chain_control(
     trainer.train()
     trainer.save("final")
 
-    # Post-training stage caching: the iid-sample and Langevin stages are
-    # the expensive tail of a production control (tens of TPU-minutes at
-    # N>=35). Crash-resilient relaunches (resume=True) must not redo a
-    # completed stage, so each stage persists its raw product in the stable
-    # results_folder and is skipped when the file already exists.
-    def _cached_stage(name, compute):
-        path = os.path.join(results_folder, f"post_{name}.npy")
-        if resume and os.path.exists(path):
-            print(f"post-train stage '{name}': loaded from {path}")
-            return np.load(path)
-        arr = np.asarray(compute())
-        tmp = path + ".tmp.npy"
-        np.save(tmp, arr)
-        os.replace(tmp, path)
-        return arr
+    cached = lambda name, compute: _cached_stage(
+        results_folder, name, compute, resume
+    )
 
     # TICA scorer: fit on an independent reference trajectory, gt histogram
     # from i.i.d. equilibrium draws.
@@ -324,7 +368,7 @@ def run_chain_control(
     )
     floor = scorer.tic_js(chain10_dataset(eval_samples, seed=seed + 12))
 
-    iid = _cached_stage("iid", lambda: trainer.sample(num_samples))
+    iid = cached("iid", lambda: trainer.sample(num_samples))
     finite = np.isfinite(iid).all(axis=(1, 2))
     iid = iid[finite]
     results = {
@@ -351,7 +395,12 @@ def run_chain_control(
         kb="consistent", random_seed=seed, log=True, fused=fused,
         dt_scale=langevin_dt_scale,
     )
-    traj_lang = _cached_stage("langevin", sim.sample)
+    # Stage name encodes the knobs that define the trajectory, so a resumed
+    # run with retuned t/dt_scale recomputes instead of mislabeling a cached
+    # trajectory (round-4 advisor finding).
+    traj_lang = cached(
+        f"langevin_t{t_noise}_dt{langevin_dt_scale:g}", sim.sample
+    )
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
     if finite_l.all():
@@ -411,6 +460,7 @@ def dipeptide_bars_ok(results: dict) -> bool:
         # from f32 (the claim behind the bf16 production defaults); when
         # the comparison was run, hold it to the measured-floor level.
         and results.get("js_bf16_vs_f32", 0.0) <= 0.02
+        and ergodicity_bars_ok(results)
     )
 
 
@@ -522,22 +572,12 @@ def run_positive_control(
     trainer.train()
     trainer.save("final")
 
-    # Cached post-train stages (see run_chain_control._cached_stage): a
-    # crash-resilient relaunch with resume=True must not redo a completed
-    # sampling/Langevin stage.
-    def _cached_stage(name, compute):
-        path = os.path.join(results_folder, f"post_{name}.npy")
-        if resume and os.path.exists(path):
-            print(f"post-train stage '{name}': loaded from {path}")
-            return np.load(path)
-        arr = np.asarray(compute())
-        tmp = path + ".tmp.npy"
-        np.save(tmp, arr)
-        os.replace(tmp, path)
-        return arr
+    cached = lambda name, compute: _cached_stage(
+        results_folder, name, compute, resume
+    )
 
     # ---- i.i.d. samples through the full reverse chain (EMA weights)
-    iid = _cached_stage("iid", lambda: trainer.sample(num_samples))
+    iid = cached("iid", lambda: trainer.sample(num_samples))
     finite = np.isfinite(iid).all(axis=(1, 2))
     nonfinite_frac = float(1.0 - finite.mean())
     iid = iid[finite]
@@ -584,7 +624,10 @@ def run_positive_control(
         )
         return sim.sample()
 
-    traj_f32 = _cached_stage("langevin_f32", lambda: run_langevin(False))
+    stage_suffix = f"_t{t_noise}_dt{langevin_dt_scale:g}"
+    traj_f32 = cached(
+        f"langevin_f32{stage_suffix}", lambda: run_langevin(False)
+    )
     finite_l = np.isfinite(traj_f32).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
     if finite_l.all():
@@ -602,7 +645,9 @@ def run_positive_control(
     results["js_langevin_f32"] = dihedral_js(traj_f32, reference, n_bins=n_bins)
     results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
     if bf16_compare:
-        traj_bf16 = _cached_stage("langevin_bf16", lambda: run_langevin(True))
+        traj_bf16 = cached(
+            f"langevin_bf16{stage_suffix}", lambda: run_langevin(True)
+        )
         traj_bf16 = traj_bf16[np.isfinite(traj_bf16).all(axis=(1, 2))]
         results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference, n_bins=n_bins)
         results["js_bf16_vs_f32"] = dihedral_js(traj_bf16, traj_f32, n_bins=n_bins)
