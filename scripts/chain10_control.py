@@ -49,6 +49,14 @@ def main():
     p.add_argument("--langevin_dt_scale", type=float, default=None,
                    help="default: the measured per-protein production value "
                         "(data/molecules.default_dt_scale)")
+    # Langevin window overrides: the ergodicity hop-fraction bar is
+    # window-length-dependent (a slow torsion may need >50k steps for a
+    # nontrivial fraction of chains to cross), so a control whose
+    # stationary bars pass but whose window was too short to see hops is
+    # re-run with a longer budget, not a weaker bar. The stage cache is
+    # keyed by these knobs (post_langevin_t{t}_dt{scale}_s{steps}.npy).
+    p.add_argument("--langevin_steps", type=int, default=None)
+    p.add_argument("--langevin_chains", type=int, default=None)
     args = p.parse_args()
 
     from twoforone_tpu.utils.cache import enable_compilation_cache
@@ -91,6 +99,10 @@ def main():
         kwargs["t_noise"] = args.t_noise
     if args.langevin_dt_scale is not None:
         kwargs["langevin_dt_scale"] = args.langevin_dt_scale
+    if args.langevin_steps is not None:
+        kwargs["langevin_steps"] = args.langevin_steps
+    if args.langevin_chains is not None:
+        kwargs["langevin_chains"] = args.langevin_chains
 
     t0 = time.time()
     results = (run_positive_control if ala5 else run_chain_control)(**kwargs)

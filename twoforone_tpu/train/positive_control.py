@@ -396,10 +396,13 @@ def run_chain_control(
         dt_scale=langevin_dt_scale,
     )
     # Stage name encodes the knobs that define the trajectory, so a resumed
-    # run with retuned t/dt_scale recomputes instead of mislabeling a cached
-    # trajectory (round-4 advisor finding).
+    # run with retuned t/dt_scale (or an extended step budget — the hop
+    # fraction the ergodicity bar asserts is window-length-dependent)
+    # recomputes instead of mislabeling a cached trajectory (round-4
+    # advisor finding).
     traj_lang = cached(
-        f"langevin_t{t_noise}_dt{langevin_dt_scale:g}", sim.sample
+        f"langevin_t{t_noise}_dt{langevin_dt_scale:g}_s{langevin_steps}",
+        sim.sample,
     )
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
@@ -422,6 +425,11 @@ def run_chain_control(
     results["tic_js_langevin"] = scorer.tic_js(traj_lang)
     results["t_noise_langevin"] = t_noise
     results["langevin_dt_scale"] = langevin_dt_scale
+    # Provenance for the window-dependent ergodicity numbers: hop fraction
+    # is "chains that crossed at least once in THIS window", so the window
+    # must travel with the report.
+    results["langevin_steps"] = langevin_steps
+    results["langevin_chains"] = langevin_chains
     results["results_folder"] = results_folder
     return results
 
@@ -654,5 +662,8 @@ def run_positive_control(
         results["pwd_js_bf16_vs_f32"] = pwd_js(traj_bf16, traj_f32)
     results["t_noise_langevin"] = t_noise
     results["langevin_dt_scale"] = langevin_dt_scale
+    # Window provenance for the ergodicity numbers (see run_chain_control).
+    results["langevin_steps"] = langevin_steps
+    results["langevin_chains"] = langevin_chains
     results["results_folder"] = results_folder
     return results
