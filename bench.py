@@ -143,23 +143,9 @@ def _load_trained_params(gd, n_beads=10):
     that also produced validated physics (TIC-JS in
     assets/trained/chain{N}/results.json). Falls back to random init
     (identical cost) otherwise."""
-    import jax
+    from twoforone_tpu.utils.artifacts import load_ema_params
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "twoforone_tpu", "assets", "trained", f"chain{n_beads}",
-    )
-    if not os.path.exists(os.path.join(path, "model-best.msgpack")):
-        return None
-    from flax import serialization
-
-    from twoforone_tpu.utils.checkpoint import load_checkpoint
-
-    template = {"ema_params": gd.init_params(jax.random.PRNGKey(0))}
-    state = load_checkpoint(path, "best", None)
-    return serialization.from_state_dict(
-        template["ema_params"], state["ema_params"]
-    )
+    return load_ema_params(gd, f"chain{n_beads}")
 
 
 def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):

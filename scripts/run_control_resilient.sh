@@ -88,9 +88,19 @@ STALL_S=${STALL_S:-1200}
 OUT_FILE=$(readlink -f /proc/$$/fd/1 2>/dev/null || true)
 
 run_attempt() {
+    # CONTROL_CMD: run an arbitrary resumable chip workload (e.g.
+    # scripts/paper_scale_langevin.py) under this launcher's chip-lock /
+    # bench-preemption / stall-watchdog / retry machinery instead of the
+    # default control training. The command must be idempotent under
+    # relaunch (resume from its own persisted state) and honor
+    # TWOFORONE_PREEMPT_FLAG. Word-split on purpose.
+    if [ -n "${CONTROL_CMD:-}" ]; then
+        timeout "$PER_TIMEOUT" ${CONTROL_CMD} ${CONTROL_EXTRA:-} &
+    else
     timeout "$PER_TIMEOUT" /opt/venv/bin/python -u scripts/chain10_control.py \
         --n_beads "$N" --results_folder "$FOLDER" --resume \
         ${CONTROL_EXTRA:-} &
+    fi
     local pid=$!
     if [ -n "$OUT_FILE" ] && [ -f "$OUT_FILE" ]; then
         while kill -0 "$pid" 2>/dev/null; do
