@@ -72,9 +72,22 @@ def main():
             n - 3, n_slow=preset["n_slow"], seed=preset["components_seed"]
         )
 
-    traj_path = args.traj or os.path.join(
-        REPO, ".controls", f"chain{n}_run", "post_langevin.npy"
-    )
+    traj_path = args.traj
+    if traj_path is None:
+        # Newest Langevin stage product: stage caches are keyed by the
+        # knobs that define them (post_langevin_t{t}_dt{scale}_s{steps}.npy
+        # since round 5; plain post_langevin.npy before that).
+        import glob
+
+        candidates = sorted(
+            glob.glob(os.path.join(REPO, ".controls", f"chain{n}_run",
+                                   "post_langevin*.npy")),
+            key=os.path.getmtime,
+        )
+        if not candidates:
+            raise SystemExit(f"no post_langevin*.npy under "
+                             f".controls/chain{n}_run — pass --traj")
+        traj_path = candidates[-1]
     traj = np.load(traj_path)
     traj = traj.reshape(args.chains, -1, n, 3)
     print(f"trajectory {traj_path}: {traj.shape} (chains, frames, beads, 3)")

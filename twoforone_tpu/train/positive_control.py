@@ -71,6 +71,27 @@ def _cached_stage(results_folder, name, compute, resume):
     return arr
 
 
+def _segmented_langevin_stage(ld, results_folder, name, resume,
+                              segment_steps=None):
+    """The Langevin stage under the :func:`_cached_stage` contract
+    (``post_{name}.npy``), driven in checkpointed segments
+    (dynamics/segmented.py): a crash or bench preemption mid-stage costs
+    one segment (~minutes), not the whole stage (up to ~1 h at N=56)."""
+    from twoforone_tpu.dynamics.segmented import cleanup, segmented_sample
+
+    path = os.path.join(results_folder, f"post_{name}.npy")
+    if resume and os.path.exists(path):
+        print(f"post-train stage '{name}': loaded from {path}")
+        return np.load(path)
+    arr = segmented_sample(ld, results_folder, name,
+                           segment_steps=segment_steps, resume=resume)
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+    cleanup(results_folder, name)
+    return arr
+
+
 def dihedral_js(coords_a, coords_b, n_bins: int = 61) -> float:
     """JS between the 2D phi/psi histograms of two conformation sets."""
     pa = get_prob(get_torsions(coords_a), n_bins=n_bins)
@@ -400,9 +421,10 @@ def run_chain_control(
     # fraction the ergodicity bar asserts is window-length-dependent)
     # recomputes instead of mislabeling a cached trajectory (round-4
     # advisor finding).
-    traj_lang = cached(
+    traj_lang = _segmented_langevin_stage(
+        sim, results_folder,
         f"langevin_t{t_noise}_dt{langevin_dt_scale:g}_s{langevin_steps}",
-        sim.sample,
+        resume,
     )
     finite_l = np.isfinite(traj_lang).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
@@ -611,8 +633,8 @@ def run_positive_control(
     rng = np.random.default_rng(seed + 3)
     init = np.asarray(iid)[rng.integers(0, len(iid), langevin_chains)]
 
-    def run_langevin(bf16):
-        sim = LangevinDiffusion(
+    def make_sim(bf16):
+        return LangevinDiffusion(
             gd,
             ema_params,
             init,
@@ -630,11 +652,11 @@ def run_positive_control(
             bf16=bf16,
             dt_scale=langevin_dt_scale,
         )
-        return sim.sample()
 
-    stage_suffix = f"_t{t_noise}_dt{langevin_dt_scale:g}"
-    traj_f32 = cached(
-        f"langevin_f32{stage_suffix}", lambda: run_langevin(False)
+    stage_suffix = f"_t{t_noise}_dt{langevin_dt_scale:g}_s{langevin_steps}"
+    traj_f32 = _segmented_langevin_stage(
+        make_sim(False), results_folder, f"langevin_f32{stage_suffix}",
+        resume,
     )
     finite_l = np.isfinite(traj_f32).all(axis=(1, 2))
     results["nonfinite_frac_langevin"] = float(1.0 - finite_l.mean())
@@ -653,8 +675,9 @@ def run_positive_control(
     results["js_langevin_f32"] = dihedral_js(traj_f32, reference, n_bins=n_bins)
     results["pwd_js_langevin_f32"] = pwd_js(traj_f32, reference)
     if bf16_compare:
-        traj_bf16 = cached(
-            f"langevin_bf16{stage_suffix}", lambda: run_langevin(True)
+        traj_bf16 = _segmented_langevin_stage(
+            make_sim(True), results_folder, f"langevin_bf16{stage_suffix}",
+            resume,
         )
         traj_bf16 = traj_bf16[np.isfinite(traj_bf16).all(axis=(1, 2))]
         results["js_langevin_bf16"] = dihedral_js(traj_bf16, reference, n_bins=n_bins)
