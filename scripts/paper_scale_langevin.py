@@ -126,8 +126,19 @@ def main():
 
     # Chains initialize from the model's own i.i.d. samples — the
     # reference's langevin gen_mode (sample.py:176-214). Deterministic key
-    # so a resumed run reconstructs the identical initial condition.
-    init = np.asarray(gd.sample(params, args.chains, jax.random.PRNGKey(7)))
+    # so a resumed run reconstructs the identical initial condition. On
+    # resume the state checkpoint supersedes the initial condition anyway
+    # (load_state below), so skip the 1000-step reverse chain entirely —
+    # with deliberate mid-run kills every PER_TIMEOUT this saves a full
+    # iid sampling pass (~2 min chip time) per relaunch. The persisted x
+    # is in normalized units; scale back up since LangevinDiffusion
+    # divides its init by norm_factor.
+    if os.path.exists(state_path):
+        init = np.asarray(np.load(state_path)["x"],
+                          dtype=np.float32) * float(gd.norm_factor)
+    else:
+        init = np.asarray(gd.sample(params, args.chains,
+                                    jax.random.PRNGKey(7)))
 
     dt_scale = default_dt_scale("CHIGNOLIN", 10)
     sim = LangevinDiffusion(
