@@ -148,13 +148,22 @@ def _load_trained_params(gd, n_beads=10):
     return load_ema_params(gd, f"chain{n_beads}")
 
 
-def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):
-    """Block until the accelerator backend is claimable, up to ~1 h.
+def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 1800):
+    """Block until the accelerator backend is claimable.
 
     The TPU pool behind the tunnel can be transiently UNAVAILABLE; a failed
     in-process init is cached by jax, so probe in a subprocess and only
-    initialize in-process once a probe has succeeded. Gives up (and lets the
-    in-process init raise the real error) after ``max_tries`` probes.
+    initialize in-process once a probe has succeeded. During a hard pool
+    outage the init hangs in internal retries for ~25 min before raising
+    UNAVAILABLE (observed 2026-08-20, same behavior the control launcher's
+    wait_for_backend handles), so the probe timeout must exceed that to get
+    a real verdict — a 300 s probe would time out every try and bench would
+    proceed into a doomed 25-min in-process init. A probe that does time
+    out at 30 min is treated as claim-queue contention (the pool exists but
+    something else holds the chip — _wait_for_chip_lock already cleared OUR
+    controls), and we proceed to let the real init wait its turn. Gives up
+    (and lets the in-process init raise the real error) after ``max_tries``
+    failed probes; the driver's own deadline bounds the total wait.
     """
     import subprocess
     import sys
@@ -168,8 +177,6 @@ def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 300):
                 stderr=subprocess.DEVNULL,
             ).returncode
         except subprocess.TimeoutExpired:
-            # Blocked in the claim queue: the pool exists but is contended —
-            # proceed and let the real init wait its turn.
             return
         if rc == 0:
             return
