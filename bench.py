@@ -251,6 +251,14 @@ def _wait_for_chip_lock(max_wait_s: int = 2700):
 
 
 def main():
+    # TWOFORONE_CHIP_LOCK_OK: the caller guarantees it owns the chip lock
+    # (e.g. the round-5 queue runs bench.py as a run_control_resilient.sh
+    # CONTROL_CMD, whose launcher parent holds the lock on our behalf) —
+    # waiting on it would stall against our own parent, and raising
+    # BENCH_WAITING would make that parent yield to us needlessly.
+    if os.environ.get("TWOFORONE_CHIP_LOCK_OK"):
+        _main_measurements(skip_lock_wait=True)
+        return
     _set_bench_flag()
     try:
         _main_measurements()
@@ -258,8 +266,9 @@ def main():
         _clear_bench_flag()
 
 
-def _main_measurements():
-    _wait_for_chip_lock()
+def _main_measurements(skip_lock_wait=False):
+    if not skip_lock_wait:
+        _wait_for_chip_lock()
     _wait_for_backend()
     import jax
 

@@ -122,9 +122,16 @@ def main():
                                bf16=args.bf16)
         outs, key = [], jax.random.PRNGKey(100)
         t0 = time.perf_counter()
-        for i in range((args.num_samples + args.batch - 1) // args.batch):
+        n_batches = (args.num_samples + args.batch - 1) // args.batch
+        for i in range(n_batches):
             key, sub = jax.random.split(key)
             outs.append(np.asarray(fn(params, sub)))
+            # Heartbeat: a full-chain batch at N=35 runs ~3 min, so a long
+            # draw is otherwise silent — the stall watchdog
+            # (run_control_resilient.sh) needs output to distinguish a
+            # wedged TPU RPC from a slow solver.
+            print(f"  batch {i + 1}/{n_batches} ({time.strftime('%H:%M:%S')})",
+                  flush=True)
         elapsed = time.perf_counter() - t0
         samples = np.concatenate(outs)[: args.num_samples]
         finite = np.isfinite(samples).all(axis=(1, 2))
