@@ -89,7 +89,8 @@ langevin_dt_scale_dict = {
     "ALANINE_DIPEPTIDE_MDSHARE": 1.0,
     "CHIGNOLIN": 1.0,   # N=10, measured green at 1.0 (assets/trained/chain10)
     "TRP_CAGE": 1.0,    # N=20, measured green at 1.0 (assets/trained/chain20)
-    "BBA": 0.5,         # N=28, tuned at the neighbouring N=35
+    "BBA": 0.35,        # N=28, measured green (chain28: occupancy err 0.051;
+                        # 0.5 failed the bar at 0.1031 over a 150k window)
     "VILLIN": 0.5,      # N=35, measured green (chain35; 1.0 fails at 0.1115)
     "PROTEIN_G": 0.35,  # N=56, measured green (chain56)
 }
