@@ -27,6 +27,9 @@ def test_measured_defaults_are_the_validated_values():
     # production controls' physics bars.
     assert default_dt_scale("villin") == 0.5
     assert default_dt_scale("protein_g") == 0.35
+    # BBA measured green at 0.35 (chain28, 250k window: occupancy error
+    # 0.051); 0.5 failed the occupancy bar at 0.1031.
+    assert default_dt_scale("bba") == 0.35
     assert default_dt_scale("chignolin") == 1.0
     assert default_dt_scale("trp_cage") == 1.0
     assert default_dt_scale("alanine_dipeptide_fuberlin") == 1.0
