@@ -68,14 +68,27 @@ def build_chain10(params_required=True):
     from twoforone_tpu.models.graph_transformer import GraphTransformer
     from twoforone_tpu.utils.artifacts import load_ema_params
 
-    traj = chain_trajectory(400000, CHAIN10_TORSION_COMPONENTS, seed=0)
-    topology = load_pdb(
-        os.path.join(_REPO, "twoforone_tpu", "assets", "folded_pdbs",
-                     "CLN025-0-c-alpha.pdb")
-    ).topology
-    trainset = CGDataset(traj[: int(0.7 * len(traj))], topology,
-                         Molecules.CHIGNOLIN, mean0=True)
-    norm_factor = float(trainset.data.std())
+    # The norm factor is a deterministic scalar (trainset std of the
+    # seed-0 synthetic trajectory), but regenerating the 400k-frame
+    # trajectory costs minutes of CPU per resume attempt — so it is
+    # computed once per machine and cached; the cache is written only by
+    # this same computation, never hand-edited.
+    cache = os.path.join(_REPO, ".controls", "chain10_norm_factor.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            norm_factor = float(json.load(f)["norm_factor"])
+    else:
+        traj = chain_trajectory(400000, CHAIN10_TORSION_COMPONENTS, seed=0)
+        topology = load_pdb(
+            os.path.join(_REPO, "twoforone_tpu", "assets", "folded_pdbs",
+                         "CLN025-0-c-alpha.pdb")
+        ).topology
+        trainset = CGDataset(traj[: int(0.7 * len(traj))], topology,
+                             Molecules.CHIGNOLIN, mean0=True)
+        norm_factor = float(trainset.data.std())
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        _atomic_json(cache, {"norm_factor": norm_factor,
+                             "provenance": "build_chain10 (400k seed-0)"})
 
     model = GraphTransformer(
         num_beads=10, hidden_nf=64, n_layers=3,
