@@ -29,6 +29,22 @@ wait_bench_clear() {
 }
 
 wait_queue2_done
+
+# 0. Paper-scale completion net: if the recovery queue's paper-scale leg
+# exhausted its attempt budget during the 2026-08-20 tunnel outage (compute
+# RPCs wedged while jax.devices() kept answering, so the old probe let
+# attempts start and burn), finish it here — the run resumes losslessly
+# from its segment state, and run_control_resilient.sh now probes a real
+# computation so attempts only start on a genuinely healthy backend.
+if [ ! -e .controls/paper_scale_run/results.json ]; then
+  wait_lock_free
+  wait_bench_clear
+  CONTROL_CMD="/opt/venv/bin/python -u scripts/paper_scale_langevin.py" \
+    bash scripts/run_control_resilient.sh 10 14 1200 \
+    >> $T/r5_paper_scale.log 2>&1
+  echo "paper scale (follower) rc=$?"
+fi
+
 for N in 10 20 35; do
   wait_lock_free
   wait_bench_clear

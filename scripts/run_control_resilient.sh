@@ -62,7 +62,15 @@ wait_for_backend() {
     # claim that long before this launcher starts.
     local start=$SECONDS
     while true; do
-        timeout 1800 /opt/venv/bin/python -c "import jax; jax.devices()" \
+        # Probe an actual computation, not just device enumeration: a
+        # wedged tunnel can keep serving jax.devices() (client handshake)
+        # while every compute RPC hangs forever (observed 2026-08-20:
+        # devices() instant, a 512x512 matmul hung until timeout — four
+        # consecutive attempts wedged at their first device op after a
+        # green devices() probe).
+        timeout 1800 /opt/venv/bin/python -c "
+import jax, jax.numpy as jnp
+jax.jit(lambda x: x + 1)(jnp.ones(8)).block_until_ready()" \
             >/dev/null 2>&1
         local rc=$?
         if [ "$rc" -eq 0 ]; then
