@@ -179,7 +179,31 @@ def _wait_for_backend(max_tries: int = 12, try_timeout_s: int = 1800):
         except subprocess.TimeoutExpired:
             return
         if rc == 0:
-            return
+            # Device enumeration alone is a false-healthy signal: during
+            # the 2026-08-20 tunnel outage jax.devices() kept answering
+            # while every compute RPC wedged forever. Probe an actual
+            # computation; a hang here (our own lock discipline guarantees
+            # nothing of ours holds the chip at this point) means the
+            # compute path is wedged — keep waiting rather than proceed
+            # into a doomed in-process init that would hang the bench.
+            try:
+                rc2 = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "jax.jit(lambda x: x + 1)(jnp.ones(8))"
+                     ".block_until_ready()"],
+                    timeout=180,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc2 = -1
+            if rc2 == 0:
+                return
+            print(f"# backend compute path wedged (probe {i + 1}/"
+                  f"{max_tries}); retrying in 60 s", file=sys.stderr)
+            time.sleep(60)
+            continue
         print(f"# backend unavailable (probe {i + 1}/{max_tries}); "
               "retrying in 60 s", file=sys.stderr)
         time.sleep(60)
